@@ -1,0 +1,138 @@
+"""Benchmark: HOI sequences/sec/chip, 100-step respaced DDPM, BEHAVE config.
+
+Measures the full reverse-diffusion sampling of the flagship SMPL-track MDM
+(conditioning encoder + 100 denoiser calls inside one `lax.scan`, with
+past-frame inpainting — the `eval_smpl_short.py` pipeline shape) and prints
+ONE JSON line.
+
+``vs_baseline`` is speedup vs a torch-CPU implementation of the same
+denoiser at the same config (the reference is a torch codebase whose repo
+publishes no numbers — BASELINE.md; the north star is >=50x torch-CPU).
+The torch-CPU number is measured once and cached in `.bench_baseline.json`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+B = 32  # reference eval batch (`eval_smpl_short.py:392`)
+T_PAST, T_FUT = 10, 25
+T = T_PAST + T_FUT
+P = 2048  # object points (`data/prepare_behave.py:92`)
+STEPS = 100
+BASELINE_FILE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
+
+
+def measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from interdiff_tpu.diffusion.gaussian import GaussianDiffusion, Inpaint
+    from interdiff_tpu.models.mdm_smpl import MDMSmpl
+
+    model = MDMSmpl()
+    diffusion = GaussianDiffusion.create_named(
+        steps=1000, timestep_respacing=str(STEPS))
+
+    rng = np.random.default_rng(233)
+    gt = jnp.asarray(rng.standard_normal((B, T, 144)).astype(np.float32))
+    obj_points = jnp.asarray(
+        rng.standard_normal((B, P, 6)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), gt, obj_points,
+                        jnp.zeros((B,), jnp.int32),
+                        method=MDMSmpl.init_forward)
+
+    mask = jnp.zeros((B, T, 144), bool).at[:, :T_PAST].set(True)
+
+    @jax.jit
+    def sample(key, gt, obj_points):
+        memory = model.apply(params, gt, obj_points, method=MDMSmpl.encode)
+
+        def model_fn(x, ts):
+            return model.apply(params, x, ts, memory)
+
+        return diffusion.p_sample_loop(
+            model_fn, key, (B, T, 144), inpaint=Inpaint(mask, gt))
+
+    key = jax.random.PRNGKey(1)
+    sample(key, gt, obj_points).block_until_ready()  # compile
+    n_rep = 5
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        out = sample(jax.random.fold_in(key, i), gt, obj_points)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return B * n_rep / dt  # sequences/sec on this one chip
+
+
+def measure_torch_cpu() -> float:
+    """Same denoiser topology/sizes in torch on CPU, 100-step loop.
+
+    Architecture-equivalent stand-in (the reference's own deps — pointnet2
+    CUDA ops, local_attention — don't run here): 8-layer encoder once +
+    100 x 8-layer decoder, d_model 256, ff 1024, batch 32.  Extrapolated
+    from a few reverse steps.
+    """
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    d, ff, H = 256, 1024, 4
+    enc_layer = torch.nn.TransformerEncoderLayer(
+        d, H, ff, dropout=0.0, activation="gelu", batch_first=True)
+    encoder = torch.nn.TransformerEncoder(enc_layer, 8)
+    dec_layer = torch.nn.TransformerDecoderLayer(
+        d, H, ff, dropout=0.0, activation="gelu", batch_first=True)
+    decoder = torch.nn.TransformerDecoder(dec_layer, 8)
+    emb_body = torch.nn.Linear(135, d)
+    emb_obj = torch.nn.Linear(9, d)
+    head = torch.nn.Linear(d, 144)
+
+    x = torch.randn(B, T, 144)
+    with torch.no_grad():
+        mem = encoder(emb_body(x[:, :T_PAST, :135])
+                      + emb_obj(x[:, :T_PAST, 135:]))
+
+        def denoise(x):
+            h = emb_body(x[..., :135]) + emb_obj(x[..., 135:])
+            return head(decoder(h, mem))
+
+        denoise(x)  # warm
+        n_steps = 5
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            x0 = denoise(x)
+            x = 0.9 * x0 + 0.1 * torch.randn_like(x0)
+        dt = time.perf_counter() - t0
+    per_step = dt / n_steps
+    return B / (per_step * STEPS)  # sequences/sec for a full 100-step sample
+
+
+def main():
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f)["torch_cpu_seq_per_sec"]
+    else:
+        baseline = measure_torch_cpu()
+        try:
+            with open(BASELINE_FILE, "w") as f:
+                json.dump({"torch_cpu_seq_per_sec": baseline,
+                           "config": f"B{B} T{T} steps{STEPS} d256 ff1024 "
+                                     f"8+8 layers, torch-cpu"}, f)
+        except OSError:
+            pass
+
+    throughput = measure_tpu()
+    print(json.dumps({
+        "metric": "HOI sequences/sec/chip (100-step DDPM, BEHAVE)",
+        "value": round(throughput, 3),
+        "unit": "seq/s/chip",
+        "vs_baseline": round(throughput / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Shared CLI plumbing: device mesh, seeding, synthetic-data fallbacks.
+
+The reference duplicates ~40 argparse flags across 9 scripts (SURVEY.md §5);
+here each script builds a typed config from a few flags and shares this
+module.  `--synthetic N` runs any script without the (unshipped) BEHAVE /
+HO-GCN data — random clips with the right shapes — so the full train/eval
+paths can be smoke-tested end-to-end on any machine.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def make_mesh(data_axis: str = "data"):
+    import jax
+
+    devices = np.asarray(jax.devices())
+    return jax.sharding.Mesh(devices, (data_axis,))
+
+
+def seed_everything(seed: int = 233) -> np.random.Generator:
+    np.random.seed(seed)
+    return np.random.default_rng(seed)
+
+
+def synthetic_smpl_batches(rng: np.random.Generator, *, batch_size: int,
+                           seq_len: int, num_points: int = 512,
+                           num_verts: int = 64, steps: int = 4
+                           ) -> Iterator[Dict[str, np.ndarray]]:
+    """Random BEHAVE-shaped batches (collate() layout, behave.py)."""
+    B, T = batch_size, seq_len
+    for _ in range(steps):
+        yield {
+            "body_pose": rng.standard_normal((B, T, 156)).astype(np.float32) * 0.2,
+            "body_betas": rng.standard_normal((B, T, 10)).astype(np.float32),
+            "body_trans": rng.standard_normal((B, T, 3)).astype(np.float32),
+            "obj_angles": rng.standard_normal((B, T, 3)).astype(np.float32),
+            "obj_trans": rng.standard_normal((B, T, 3)).astype(np.float32),
+            "markers": rng.standard_normal((B, T, 67, 7)).astype(np.float32),
+            "human_verts": rng.standard_normal(
+                (B, T, num_verts, 7)).astype(np.float32),
+            "obj_points": rng.standard_normal(
+                (B, num_points, 6)).astype(np.float32),
+            "obj_points_frames": rng.standard_normal(
+                (B, T, num_points, 7)).astype(np.float32),
+            "ground_joint_label": np.zeros((B, T, 2), np.float32),
+            "gender": np.zeros((B,), np.int32),
+        }
+
+
+def synthetic_skeleton_batches(rng: np.random.Generator, *, batch_size: int,
+                               seq_len: int, steps: int = 4
+                               ) -> Iterator[Dict[str, np.ndarray]]:
+    """Random HO-GCN-shaped batches (collate_skeleton layout)."""
+    B, T = batch_size, seq_len
+    for _ in range(steps):
+        quat = rng.standard_normal((B, T, 4)).astype(np.float32)
+        quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+        poses = np.concatenate(
+            [rng.standard_normal((B, T, 3)).astype(np.float32), quat], axis=-1)
+        yield {
+            "skeleton": rng.standard_normal((B, T, 21, 3)).astype(np.float32),
+            "obj_points": rng.standard_normal((B, T, 12, 3)).astype(np.float32),
+            "poses": poses,
+            "zero_pose_obj": rng.standard_normal((B, 12, 3)).astype(np.float32),
+        }
+
+
+def batch_iterator(dataset, collate_fn, *, batch_size: int,
+                   rng: np.random.Generator, shuffle: bool = True,
+                   drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+    """Host-side minibatch loader (replaces torch DataLoader)."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(order)
+    for s in range(0, len(order) - (batch_size - 1 if drop_last else 0),
+                   batch_size):
+        idx = order[s : s + batch_size]
+        if len(idx) < batch_size and drop_last:
+            break
+        yield collate_fn([dataset[int(i)] for i in idx])

@@ -1,0 +1,132 @@
+"""Skeleton-track evaluation — `interdiff/eval_skeleton.py` (with
+correction) and `eval_skeleton_no_correction.py` in one script
+(`--mode correction|no_correction`).
+
+Runs over the seen + unseen test splits (or `--synthetic` random batches),
+prints the weighted-mean metric dict like the reference (`:145-165`).
+
+Usage:
+  python -m interdiff_tpu.cli.eval_skeleton --motion_path ... \
+      --diffusion_ckpt <orbax dir> [--correction_ckpt torch.ckpt] \
+      [--mode correction] [--synthetic N]
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument("--motion_path", default=None)
+    parser.add_argument("--mode", default="correction",
+                        choices=["correction", "no_correction"])
+    parser.add_argument("--diffusion_ckpt", default=None,
+                        help="orbax dir of trained MDM params")
+    parser.add_argument("--correction_ckpt",
+                        default="/root/reference/interdiff/checkpoints/"
+                                "obj_skeleton.ckpt")
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--past_len", type=int, default=10)
+    parser.add_argument("--future_len", type=int, default=10)
+    parser.add_argument("--seed", type=int, default=233)
+    parser.add_argument("--synthetic", type=int, default=0)
+    args = parser.parse_args()
+    if not args.synthetic and not args.motion_path:
+        parser.error("--motion_path is required unless --synthetic is set")
+
+    from interdiff_tpu.cli.common import seed_everything, synthetic_skeleton_batches
+    from interdiff_tpu.config import SkeletonTrackConfig
+    from interdiff_tpu.eval.metrics import skeleton_metrics
+    from interdiff_tpu.eval.skeleton import (
+        SkeletonEvalConfig,
+        make_skeleton_sampler,
+        split_skeleton_state,
+    )
+    from interdiff_tpu.models.correction import ObjProjectorSkeleton
+    from interdiff_tpu.models.mdm_skeleton import MDMSkeleton
+
+    rng = seed_everything(args.seed)
+    T = args.past_len + args.future_len
+    cfg = SkeletonEvalConfig(past_len=args.past_len,
+                             future_len=args.future_len)
+    track = SkeletonTrackConfig(past_len=args.past_len,
+                                future_len=args.future_len)
+    model = track.build_model()
+    diffusion = track.diffusion.build()
+
+    ex = next(synthetic_skeleton_batches(rng, batch_size=2, seq_len=T))
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(ex["skeleton"]),
+        jnp.asarray(ex["obj_points"]), jnp.asarray(ex["poses"]),
+        jnp.asarray(ex["zero_pose_obj"]), jnp.zeros((2,), jnp.int32),
+        method=MDMSkeleton.init_forward)
+    if args.diffusion_ckpt:
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(os.path.abspath(args.diffusion_ckpt))
+        params = {"params": mgr.restore(
+            mgr.latest_step(),
+            args=ocp.args.StandardRestore(params["params"]))}
+
+    projector = projector_params = None
+    if args.mode == "correction":
+        from interdiff_tpu.utils.checkpoint import load_correction_skeleton
+
+        projector = ObjProjectorSkeleton(past_len=args.past_len,
+                                         future_len=args.future_len)
+        projector_params, _ = load_correction_skeleton(args.correction_ckpt)
+
+    sample = jax.jit(make_skeleton_sampler(
+        cfg, model, diffusion, params, projector=projector,
+        projector_params=projector_params,
+        use_correction=args.mode == "correction"))
+
+    def batches():
+        if args.synthetic:
+            yield from synthetic_skeleton_batches(
+                rng, batch_size=args.batch_size, seq_len=T,
+                steps=args.synthetic)
+            return
+        from interdiff_tpu.cli.common import batch_iterator
+        from interdiff_tpu.data.skeleton import (
+            collate_skeleton,
+            load_skeleton_datasets,
+        )
+
+        _, _, test_seen, test_unseen = load_skeleton_datasets(
+            args.motion_path)
+        for name, split in (("seen", test_seen), ("unseen", test_unseen)):
+            print(f"--- {name} split: {len(split)} clips ---")
+            yield from batch_iterator(split, collate_skeleton,
+                                      batch_size=args.batch_size, rng=rng,
+                                      shuffle=False)
+
+    key = jax.random.PRNGKey(args.seed)
+    totals, n = {}, 0
+    for batch in batches():
+        key, k = jax.random.split(key)
+        gt_parts = {
+            "body": jnp.asarray(batch["skeleton"]),
+            "obj": jnp.asarray(batch["obj_points"]),
+            "pose": jnp.asarray(batch["poses"]),
+        }
+        x = sample(k, gt_parts["body"], gt_parts["obj"], gt_parts["pose"],
+                   jnp.asarray(batch["zero_pose_obj"]))
+        pred = split_skeleton_state(x, cfg)
+        m = skeleton_metrics(pred["body"], gt_parts["body"], pred["obj"],
+                             gt_parts["obj"], pred["pose"], gt_parts["pose"],
+                             start=args.past_len)
+        n += 1
+        for k2, v in m.items():
+            totals[k2] = totals.get(k2, 0.0) + float(v)
+        print({k2: round(v / n, 5) for k2, v in totals.items()})
+
+
+if __name__ == "__main__":
+    main()

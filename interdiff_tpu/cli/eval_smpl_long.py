@@ -1,0 +1,133 @@
+"""SMPL-track long-term autoregressive evaluation — completes what
+`interdiff/eval_smpl_long.py` left unreleased (its `denormalize`/`correct`
+are undefined in the reference; see interdiff_tpu/eval/smpl_long.py for the
+design we shipped).
+
+Usage:
+  python -m interdiff_tpu.cli.eval_smpl_long --motion_path ... \
+      --model_path <SMPLH pkl dir> --diffusion_ckpt <orbax dir> \
+      [--rollouts 4] [--mode correction]
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument("--motion_path", default=None)
+    parser.add_argument("--model_path", default=None)
+    parser.add_argument("--diffusion_ckpt", default=None)
+    parser.add_argument("--correction_ckpt",
+                        default="/root/reference/interdiff/checkpoints/"
+                                "correction.ckpt")
+    parser.add_argument("--mode", default="no_correction",
+                        choices=["correction", "no_correction"])
+    parser.add_argument("--rollouts", type=int, default=4,
+                        help="autoregressive future chunks after the first")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--past_len", type=int, default=10)
+    parser.add_argument("--future_len", type=int, default=25)
+    parser.add_argument("--seed", type=int, default=233)
+    args = parser.parse_args()
+    if not (args.motion_path and args.model_path):
+        parser.error("--motion_path and --model_path are required")
+
+    from interdiff_tpu.cli.common import batch_iterator, seed_everything
+    from interdiff_tpu.config import SmplTrackConfig
+    from interdiff_tpu.data.behave import (
+        BehaveDataset,
+        collate,
+        load_behave_sequences,
+    )
+    from interdiff_tpu.eval.smpl_long import rollout
+    from interdiff_tpu.eval.smpl_short import (
+        SmplEvalConfig,
+        make_sampler,
+        pad_idx,
+        postprocess_sample,
+    )
+    from interdiff_tpu.models.correction import ObjProjectorSmpl
+    from interdiff_tpu.models.mdm_smpl import MDMSmpl, smpl_gt_from_raw
+    from interdiff_tpu.smpl.loader import smpl_model_from_pkl
+    from interdiff_tpu.smpl.model import smpl_forward
+
+    rng = seed_everything(args.seed)
+    cfg = SmplEvalConfig(past_len=args.past_len, future_len=args.future_len)
+    track = SmplTrackConfig(past_len=args.past_len,
+                            future_len=args.future_len)
+    model = track.build_model()
+    diffusion = track.diffusion.build()
+
+    smpl_models = {
+        g: smpl_model_from_pkl(os.path.join(args.model_path,
+                                            f"SMPLH_{g}.pkl"))
+        for g in ("male", "female")
+    }
+    smpl = smpl_models["male"]
+
+    T = cfg.seq_len
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, T, 144)),
+        jnp.zeros((2, 256, 6)), jnp.zeros((2,), jnp.int32),
+        method=MDMSmpl.init_forward)
+    if args.diffusion_ckpt:
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(os.path.abspath(args.diffusion_ckpt))
+        params = {"params": mgr.restore(
+            mgr.latest_step(),
+            args=ocp.args.StandardRestore(params["params"]))}
+
+    projector = projector_params = None
+    if args.mode == "correction":
+        from interdiff_tpu.utils.checkpoint import load_correction_smpl
+
+        projector = ObjProjectorSmpl(past_len=args.past_len,
+                                     future_len=args.future_len)
+        projector_params, _ = load_correction_smpl(args.correction_ckpt)
+
+    sample = jax.jit(make_sampler(
+        cfg, model, diffusion, params, smpl=smpl, projector=projector,
+        projector_params=projector_params,
+        use_correction=args.mode == "correction"))
+
+    def pelvis_fn(x, hand, betas):
+        return postprocess_sample(cfg, smpl, x, hand, betas)["pelvis"]
+
+    seqs = load_behave_sequences(args.motion_path, smpl_models=smpl_models,
+                                 mode="test")
+    ds = BehaveDataset(seqs, past_len=args.past_len,
+                       future_len=args.future_len, rng=rng)
+    loader = batch_iterator(ds, collate, batch_size=args.batch_size, rng=rng,
+                            shuffle=False)
+
+    key = jax.random.PRNGKey(args.seed)
+    for i, batch in enumerate(loader):
+        gt = smpl_gt_from_raw(
+            jnp.asarray(batch["body_pose"][..., :66]),
+            jnp.asarray(batch["body_trans"]),
+            jnp.asarray(batch["obj_angles"]),
+            jnp.asarray(batch["obj_trans"]))
+        obj_points6 = jnp.asarray(batch["obj_points"][..., :6])
+        hand = jnp.asarray(batch["body_pose"][..., 66:])
+        betas = jnp.asarray(batch["body_betas"])
+        key, k = jax.random.split(key)
+        full = rollout(sample, pelvis_fn, k, gt, obj_points6, hand, betas,
+                       num_chunks=args.rollouts, cfg=cfg)
+        print(f"batch {i}: rolled out {full.shape[1]} frames "
+              f"({1 + args.rollouts} windows)")
+        np.save(os.path.join("./results", f"rollout_{i}.npy"),
+                np.asarray(full))
+        if i >= 2:
+            break
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""SMPL-track short-term evaluation — `interdiff/eval_smpl_short.py`
+equivalent: best-of-`diverse_samples` metrics with optional physics-informed
+correction in the sampling loop.
+
+Usage:
+  python -m interdiff_tpu.cli.eval_smpl_short --motion_path ... \
+      --model_path <SMPLH pkl dir> --diffusion_ckpt <orbax dir> \
+      [--correction_ckpt correction.ckpt] [--mode correction] \
+      [--diverse_samples 10]
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument("--motion_path", default=None)
+    parser.add_argument("--model_path", default=None)
+    parser.add_argument("--diffusion_ckpt", default=None)
+    parser.add_argument("--correction_ckpt",
+                        default="/root/reference/interdiff/checkpoints/"
+                                "correction.ckpt")
+    parser.add_argument("--mode", default="correction",
+                        choices=["correction", "no_correction"])
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--diverse_samples", type=int, default=10)
+    parser.add_argument("--past_len", type=int, default=10)
+    parser.add_argument("--future_len", type=int, default=25)
+    parser.add_argument("--seed", type=int, default=233)
+    args = parser.parse_args()
+    if not (args.motion_path and args.model_path):
+        parser.error("--motion_path and --model_path are required")
+
+    from interdiff_tpu.cli.common import batch_iterator, seed_everything
+    from interdiff_tpu.config import SmplTrackConfig
+    from interdiff_tpu.data.behave import (
+        BehaveDataset,
+        collate,
+        load_behave_sequences,
+    )
+    from interdiff_tpu.eval.metrics import smpl_metrics
+    from interdiff_tpu.eval.smpl_short import (
+        SmplEvalConfig,
+        make_sampler,
+        postprocess_sample,
+    )
+    from interdiff_tpu.models.correction import ObjProjectorSmpl
+    from interdiff_tpu.models.mdm_smpl import MDMSmpl, smpl_gt_from_raw
+    from interdiff_tpu.smpl.loader import smpl_model_from_pkl
+    from interdiff_tpu.smpl.model import smpl_forward
+
+    rng = seed_everything(args.seed)
+    cfg = SmplEvalConfig(past_len=args.past_len, future_len=args.future_len)
+    track = SmplTrackConfig(past_len=args.past_len,
+                            future_len=args.future_len)
+    model = track.build_model()
+    diffusion = track.diffusion.build()
+
+    smpl_models = {
+        g: smpl_model_from_pkl(os.path.join(args.model_path,
+                                            f"SMPLH_{g}.pkl"))
+        for g in ("male", "female")
+    }
+    smpl = smpl_models["male"]  # eval uses male for all (`:148`)
+
+    T = cfg.seq_len
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, T, 144)),
+        jnp.zeros((2, 256, 6)), jnp.zeros((2,), jnp.int32),
+        method=MDMSmpl.init_forward)
+    if args.diffusion_ckpt:
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(os.path.abspath(args.diffusion_ckpt))
+        params = {"params": mgr.restore(
+            mgr.latest_step(),
+            args=ocp.args.StandardRestore(params["params"]))}
+
+    projector = projector_params = None
+    if args.mode == "correction":
+        from interdiff_tpu.utils.checkpoint import load_correction_smpl
+
+        projector = ObjProjectorSmpl(past_len=args.past_len,
+                                     future_len=args.future_len)
+        projector_params, _ = load_correction_smpl(args.correction_ckpt)
+
+    sample = jax.jit(make_sampler(
+        cfg, model, diffusion, params, smpl=smpl, projector=projector,
+        projector_params=projector_params,
+        use_correction=args.mode == "correction"))
+
+    seqs = load_behave_sequences(args.motion_path, smpl_models=smpl_models,
+                                 mode="test")
+    ds = BehaveDataset(seqs, past_len=args.past_len,
+                       future_len=args.future_len, rng=rng)
+    loader = batch_iterator(ds, collate, batch_size=args.batch_size, rng=rng,
+                            shuffle=False)
+
+    key = jax.random.PRNGKey(args.seed)
+    totals, nb = {}, 0
+    p = args.past_len
+    for batch in loader:
+        gt = smpl_gt_from_raw(
+            jnp.asarray(batch["body_pose"][..., :66]),
+            jnp.asarray(batch["body_trans"]),
+            jnp.asarray(batch["obj_angles"]),
+            jnp.asarray(batch["obj_trans"]))
+        obj_points6 = jnp.asarray(batch["obj_points"][..., :6])
+        hand = jnp.asarray(batch["body_pose"][..., 66:])
+        betas = jnp.asarray(batch["body_betas"]) \
+            if "body_betas" in batch else jnp.zeros(gt.shape[:2] + (10,))
+
+        gt_post = postprocess_sample(cfg, smpl, gt, hand, betas)
+        best = None
+        for j in range(args.diverse_samples):
+            key, k = jax.random.split(key)
+            x = sample(k, gt, obj_points6, hand, betas)
+            out = postprocess_sample(cfg, smpl, x, hand, betas)
+            m = smpl_metrics(
+                out["obj_pred"][:, p:], out["jtr"][:, p:],
+                out["body_pred"][:, p:], gt_post["obj_pred"][:, p:],
+                gt_post["jtr"][:, p:], gt_post["body_pred"][:, p:],
+                out["verts"][:, p:], jnp.asarray(smpl.faces),
+                obj_points6[..., :3])
+            m = {k2: np.asarray(v) for k2, v in m.items()}
+            best = m if best is None else {
+                k2: np.minimum(best[k2], m[k2]) for k2 in m}
+        nb += 1
+        for k2, v in best.items():
+            totals[k2] = totals.get(k2, 0.0) + float(v.mean())
+        print(nb, {k2: round(v / nb, 5) for k2, v in totals.items()})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Post-hoc refinement over the test split — `interdiff/optimization.py`
+__main__ equivalent: 200 jitted Adam iterations per clip.
+
+Usage:
+  python -m interdiff_tpu.cli.optimization --motion_path ... \
+      --model_path <SMPLH pkl dir> [--limit N]
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument("--motion_path", required=True)
+    parser.add_argument("--model_path", required=True)
+    parser.add_argument("--past_len", type=int, default=10)
+    parser.add_argument("--future_len", type=int, default=10)
+    parser.add_argument("--limit", type=int, default=0)
+    parser.add_argument("--out_dir", default="./results/optimization")
+    args = parser.parse_args()
+
+    from interdiff_tpu.data.behave import BehaveDataset, load_behave_sequences
+    from interdiff_tpu.eval.optimization import OptimConfig, optimize_clip
+    from interdiff_tpu.smpl.loader import smpl_model_from_pkl
+
+    smpl_models = {
+        g: smpl_model_from_pkl(os.path.join(args.model_path,
+                                            f"SMPLH_{g}.pkl"))
+        for g in ("male", "female")
+    }
+    seqs = load_behave_sequences(args.motion_path, smpl_models=smpl_models,
+                                 mode="test")
+    ds = BehaveDataset(seqs, past_len=args.past_len,
+                       future_len=args.future_len)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    fit = jax.jit(lambda smpl, **kw: optimize_clip(smpl, **kw),
+                  static_argnums=())
+    for i in range(len(ds)):
+        clip = ds[i]
+        gender = "male" if clip["gender"] == 0 else "female"
+        smpl = smpl_models[gender]
+        out = optimize_clip(
+            smpl,
+            body_pose=jnp.asarray(clip["body_pose"][:, :66]),
+            hand_pose=jnp.asarray(clip["body_pose"][:, 66:]),
+            body_trans=jnp.asarray(clip["body_trans"]),
+            betas=jnp.asarray(clip["body_betas"]),
+            obj_angles=jnp.asarray(clip["obj_angles"]),
+            obj_trans=jnp.asarray(clip["obj_trans"]),
+            obj_points=jnp.asarray(clip["obj_points"][:, :3]),
+        )
+        np.savez(os.path.join(args.out_dir, f"clip_{i}.npz"),
+                 **{k: np.asarray(v) for k, v in out.items()})
+        print(i, "best_loss", float(out["best_loss"]))
+        if args.limit and i + 1 >= args.limit:
+            break
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Train the SMPL-track ObjProjector — `interdiff/train_correction_smpl.py`
+equivalent (Adam lr 3e-4, 8 pose terms + contact/penetration with epoch
+annealing, initialize=mean-marker mode before epoch 10).
+
+Usage:
+  python -m interdiff_tpu.cli.train_correction_smpl --motion_path ... \
+      --model_path <SMPLH pkl dir> [--epochs 500] [--synthetic N_steps]
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument("--motion_path", default=None)
+    parser.add_argument("--model_path", default=None)
+    parser.add_argument("--results_dir", default="./results/smpl_correction")
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--epochs", type=int, default=500)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--dct", type=int, default=10)
+    parser.add_argument("--past_len", type=int, default=10)
+    parser.add_argument("--future_len", type=int, default=25)
+    parser.add_argument("--seed", type=int, default=233)
+    parser.add_argument("--synthetic", type=int, default=0)
+    args = parser.parse_args()
+    if not args.synthetic and not (args.motion_path and args.model_path):
+        parser.error("--motion_path and --model_path are required unless --synthetic is set")
+
+    from interdiff_tpu.cli.common import (
+        batch_iterator,
+        make_mesh,
+        seed_everything,
+        synthetic_smpl_batches,
+    )
+    from interdiff_tpu.models.correction import ObjProjectorSmpl
+    from interdiff_tpu.train.trainer import (
+        CorrectionTrainState,
+        data_parallel_step,
+        make_correction_smpl_train_step,
+    )
+    from interdiff_tpu.utils.train_io import CheckpointManager, MetricsLogger
+
+    rng = seed_everything(args.seed)
+    T = args.past_len + args.future_len
+    projector = ObjProjectorSmpl(n_pre=args.dct, past_len=args.past_len,
+                                 future_len=args.future_len)
+
+    obj9 = jnp.zeros((2, T, 9), jnp.float32)
+    markers = jnp.zeros((2, T, 67, 3), jnp.float32)
+    contact = jnp.zeros((2, 67), jnp.float32)
+    variables = projector.init(jax.random.PRNGKey(args.seed), obj9, markers,
+                               contact)
+    state = CorrectionTrainState.create(variables, optax.adam(args.lr))
+    mesh = make_mesh()
+    # initialize (< epoch 10) and main phases compile separately — the
+    # mean-marker switch is structural (`train_correction_smpl.py:188`)
+    step_init = data_parallel_step(make_correction_smpl_train_step(
+        projector, initialize=True), mesh, extra_args=2)
+    step_main = data_parallel_step(make_correction_smpl_train_step(
+        projector, initialize=False), mesh, extra_args=2)
+
+    ckpt = CheckpointManager(os.path.join(args.results_dir, "ckpt"))
+    logger = MetricsLogger(os.path.join(args.results_dir, "metrics.jsonl"))
+    key = jax.random.PRNGKey(args.seed)
+
+    def epoch_batches():
+        if args.synthetic:
+            return synthetic_smpl_batches(
+                rng, batch_size=args.batch_size, seq_len=T,
+                steps=args.synthetic)
+        from interdiff_tpu.data.behave import (
+            BehaveDataset,
+            collate,
+            load_behave_sequences,
+        )
+        from interdiff_tpu.smpl.loader import smpl_model_from_pkl
+
+        smpl_models = {
+            g: smpl_model_from_pkl(os.path.join(args.model_path,
+                                                f"SMPLH_{g}.pkl"))
+            for g in ("male", "female")
+        }
+        seqs = load_behave_sequences(args.motion_path,
+                                     smpl_models=smpl_models, mode="train")
+        ds = BehaveDataset(seqs, past_len=args.past_len,
+                           future_len=args.future_len, rng=rng)
+        return batch_iterator(ds, collate, batch_size=args.batch_size,
+                              rng=rng)
+
+    keep = ("obj_angles", "obj_trans", "markers", "human_verts", "obj_points")
+    i = 0
+    for epoch in range(args.epochs if not args.synthetic else 1):
+        step = step_init if epoch < 10 and not args.synthetic else step_main
+        for batch in epoch_batches():
+            batch = step.place_batch(
+                {k: jnp.asarray(batch[k]) for k in keep})
+            key, k_step = jax.random.split(key)
+            state, metrics = step(state, batch, k_step,
+                                  jnp.asarray(epoch, jnp.float32))
+            if i % 10 == 0:
+                logger.log(i, {k: v for k, v in metrics.items()}, epoch=epoch)
+                print(f"step {i} loss {float(metrics['loss']):.4f}")
+            i += 1
+        if (epoch + 1) % 25 == 0 or args.synthetic:
+            ckpt.save(i, jax.device_get(state.params),
+                      val_loss=float(metrics["loss"]))
+    ckpt.wait()
+    logger.close()
+    print("done:", i, "steps")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Train the SMPL-track MDM — `interdiff/train_diffusion_smpl.py` equivalent.
+
+Usage:
+  python -m interdiff_tpu.cli.train_diffusion_smpl --motion_path ... \
+      --model_path <dir with SMPLH_{male,female}.pkl> \
+      [--epochs N] [--batch_size 32] [--synthetic N_steps]
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument("--motion_path", default=None)
+    parser.add_argument("--model_path", default=None)
+    parser.add_argument("--results_dir", default="./results/smpl_diffusion")
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--epochs", type=int, default=1000)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--past_len", type=int, default=10)
+    parser.add_argument("--future_len", type=int, default=25)
+    parser.add_argument("--use_pointnet2", type=int, default=1)
+    parser.add_argument("--seed", type=int, default=233)
+    parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--val_every", type=int, default=50)
+    args = parser.parse_args()
+    if not args.synthetic and not (args.motion_path and args.model_path):
+        parser.error("--motion_path and --model_path are required unless --synthetic is set")
+
+    from interdiff_tpu.cli.common import (
+        batch_iterator,
+        make_mesh,
+        seed_everything,
+        synthetic_smpl_batches,
+    )
+    from interdiff_tpu.config import SmplTrackConfig
+    from interdiff_tpu.models.mdm_smpl import MDMSmpl
+    from interdiff_tpu.train.trainer import (
+        TrainState,
+        adamw,
+        data_parallel_step,
+        make_smpl_train_step,
+    )
+    from interdiff_tpu.utils.train_io import CheckpointManager, MetricsLogger
+
+    rng = seed_everything(args.seed)
+    cfg = SmplTrackConfig(past_len=args.past_len, future_len=args.future_len,
+                          use_pointnet2=bool(args.use_pointnet2))
+    model = cfg.build_model()
+    diffusion = cfg.diffusion.build()
+
+    T = args.past_len + args.future_len
+    gt0 = jnp.zeros((2, T, 144), jnp.float32)
+    pts0 = jnp.zeros((2, 256, 6), jnp.float32)
+    params = model.init(jax.random.PRNGKey(args.seed), gt0, pts0,
+                        jnp.zeros((2,), jnp.int32),
+                        method=MDMSmpl.init_forward)
+
+    state = TrainState.create(params, adamw(args.lr))
+    mesh = make_mesh()
+    step = data_parallel_step(make_smpl_train_step(model, diffusion), mesh)
+
+    ckpt = CheckpointManager(os.path.join(args.results_dir, "ckpt"))
+    logger = MetricsLogger(os.path.join(args.results_dir, "metrics.jsonl"))
+    key = jax.random.PRNGKey(args.seed)
+
+    def epoch_batches():
+        if args.synthetic:
+            return synthetic_smpl_batches(
+                rng, batch_size=args.batch_size, seq_len=T,
+                steps=args.synthetic)
+        from interdiff_tpu.data.behave import (
+            BehaveDataset,
+            collate,
+            load_behave_sequences,
+        )
+        from interdiff_tpu.smpl.loader import smpl_model_from_pkl
+
+        smpl_models = {
+            g: smpl_model_from_pkl(os.path.join(args.model_path,
+                                                f"SMPLH_{g}.pkl"))
+            for g in ("male", "female")
+        }
+        seqs = load_behave_sequences(args.motion_path,
+                                     smpl_models=smpl_models, mode="train")
+        ds = BehaveDataset(seqs, past_len=args.past_len,
+                           future_len=args.future_len, rng=rng)
+        return batch_iterator(ds, collate, batch_size=args.batch_size,
+                              rng=rng)
+
+    keep = ("body_pose", "body_trans", "obj_angles", "obj_trans",
+            "obj_points")
+    i = 0
+    for epoch in range(args.epochs if not args.synthetic else 1):
+        for batch in epoch_batches():
+            batch = step.place_batch(
+                {k: jnp.asarray(batch[k]) for k in keep})
+            key, k_step = jax.random.split(key)
+            state, metrics = step(state, batch, k_step)
+            if i % 10 == 0:
+                logger.log(i, {"loss": metrics["loss"]}, epoch=epoch)
+                print(f"step {i} loss {float(metrics['loss']):.4f}")
+            i += 1
+        if (epoch + 1) % args.val_every == 0 or args.synthetic:
+            ckpt.save(i, jax.device_get(state.params),
+                      val_loss=float(metrics["loss"]))
+    ckpt.wait()
+    logger.close()
+    print("done:", i, "steps")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""PointNet++ multi-scale-grouping encoder (flax), the TPU equivalent of
+`PointNet2Encoder` (`interdiff/model/layers.py:111-175`) which wraps the
+CUDA `pointnet2_ops.PointnetSAModuleMSG`.
+
+Channels-last throughout: point clouds are [B, P, 3+C]; the shared MLPs are
+1x1 convs in the reference, i.e. plain Dense layers over the channel axis —
+exactly what the MXU wants.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from interdiff_tpu.ops.pointcloud import (
+    furthest_point_sample,
+    gather_points,
+    query_and_group,
+)
+
+
+class SharedMLP(nn.Module):
+    """Conv2d(1x1)+BN2d+ReLU chain over the channel axis (pointnet2_ops
+    `build_shared_mlp`), channels-last [B, M, S, C]."""
+
+    channels: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        for i, c in enumerate(self.channels):
+            x = nn.Dense(c, use_bias=False, name=f"conv{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"bn{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class SAModuleMSG(nn.Module):
+    """`PointnetSAModuleMSG`: FPS centers, per-radius ball-query grouping,
+    shared MLP, max-pool over neighbours, concat over scales."""
+
+    npoint: int
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]  # per-scale hidden channels (post-input)
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, xyz: jax.Array, features: Optional[jax.Array], *,
+                 train: bool = False) -> Tuple[jax.Array, jax.Array]:
+        """xyz [B, N, 3], features [B, N, C] | None ->
+        (new_xyz [B, npoint, 3], new_features [B, npoint, sum(mlp[-1])])."""
+        idx = furthest_point_sample(xyz, self.npoint)
+        new_xyz = gather_points(xyz, idx)
+        outs = []
+        for s, (radius, nsample, mlp) in enumerate(
+                zip(self.radii, self.nsamples, self.mlps)):
+            grouped = query_and_group(xyz, new_xyz, features, radius, nsample,
+                                      use_xyz=self.use_xyz)  # [B,M,S,3+C]
+            h = SharedMLP(mlp, name=f"mlp{s}")(grouped, train=train)
+            outs.append(jnp.max(h, axis=2))  # [B, M, mlp[-1]]
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class PointNet2Encoder(nn.Module):
+    """Two-stage MSG set abstraction -> per-keypoint feature, matching
+    `interdiff/model/layers.py:111-175` (c_in excludes xyz).
+
+    Input [B, I, P, 3+c_in] -> [B, I, num_keypoints, c_out] where the last
+    axis is [xyz(3) | Linear(features)(c_out-3)].
+    """
+
+    c_in: int = 1
+    c_out: int = 256
+    num_keypoints: int = 1
+
+    @nn.compact
+    def __call__(self, pointcloud: jax.Array, *, train: bool = False) -> jax.Array:
+        B, I, P, C = pointcloud.shape
+        pc = pointcloud.reshape(B * I, P, C)
+        xyz = pc[..., :3]
+        features = pc[..., 3:] if C > 3 else None
+
+        xyz, features = SAModuleMSG(
+            npoint=1024, radii=(0.05, 0.1), nsamples=(16, 32),
+            mlps=((16, 16, 32), (32, 32, 64)), name="sa0")(
+                xyz, features, train=train)
+        xyz, features = SAModuleMSG(
+            npoint=self.num_keypoints, radii=(0.1, 0.2), nsamples=(16, 32),
+            mlps=((64, 64, 128), (64, 96, 128)), name="sa1")(
+                xyz, features, train=train)
+
+        feat = nn.Dense(self.c_out - 3, name="Linear")(features)
+        out = jnp.concatenate([xyz, feat], axis=-1)
+        return out.reshape(B, I, self.num_keypoints, self.c_out)

@@ -1,0 +1,145 @@
+"""Bidirectional nearest-neighbour signed distance — the TPU replacement for
+the `chamfer_distance` CUDA extension used by `point2point_signed`
+(`interdiff/tools.py:11-76`), hot in correction training, eval guidance,
+metrics and post-hoc optimization.
+
+TPU-native design: a KD-tree style scatter walk is hostile to the MXU; the
+problem (6890 human verts x 2048 object points per frame, ~14M pairs) is
+squarely in brute-force territory.  The pairwise distance matrix is computed
+as `|a|^2 + |b|^2 - 2 a.b` — one [P1, P2] matmul on the MXU — and reduced
+with argmin.  To bound VMEM/HBM when batching T*B frames, the reduction is
+streamed over chunks of the second cloud with a running (dist, idx) minimum
+inside `lax.scan` — no [B, P1, P2] tensor ever materialises.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _chunked_nn(a: jax.Array, b: jax.Array, chunk: int) -> Tuple[jax.Array, jax.Array]:
+    """Nearest neighbour of each a-point among b-points.
+
+    a: [..., P1, 3], b: [..., P2, 3] with P2 % chunk == 0 (pad upstream).
+    Returns (sq_dist [..., P1], idx [..., P1] int32).
+    """
+    P2 = b.shape[-2]
+    num_chunks = P2 // chunk
+    batch_shape = a.shape[:-2]
+    a2 = jnp.sum(a * a, axis=-1)  # [..., P1]
+
+    b_chunks = jnp.moveaxis(
+        b.reshape(batch_shape + (num_chunks, chunk, 3)), -3, 0)
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        k, bc = inp  # bc: [..., chunk, 3]
+        b2 = jnp.sum(bc * bc, axis=-1)  # [..., chunk]
+        ab = jnp.einsum("...pd,...cd->...pc", a, bc)
+        d = a2[..., :, None] + b2[..., None, :] - 2.0 * ab  # [..., P1, chunk]
+        dmin = jnp.min(d, axis=-1)
+        imin = jnp.argmin(d, axis=-1).astype(jnp.int32) + k * chunk
+        take = dmin < best_d
+        return (jnp.where(take, dmin, best_d),
+                jnp.where(take, imin, best_i)), None
+
+    init = (jnp.full(batch_shape + (a.shape[-2],), jnp.inf, dtype=a.dtype),
+            jnp.zeros(batch_shape + (a.shape[-2],), dtype=jnp.int32))
+    ks = jnp.arange(num_chunks)
+    (best_d, best_i), _ = jax.lax.scan(step, init, (ks, b_chunks))
+    return jnp.maximum(best_d, 0.0), best_i
+
+
+def nearest_neighbor(a: jax.Array, b: jax.Array, *,
+                     chunk: Optional[int] = None,
+                     use_pallas: Optional[bool] = None
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """(squared distance, index) of the nearest b-point for every a-point.
+
+    On TPU backends the Pallas MXU kernel (`ops/pallas_nn.py`) is used for
+    batched 3-D clouds; set ``use_pallas`` to force either path.
+    """
+    if a.shape[-1] == 3 and a.ndim >= 2:
+        if use_pallas is None:
+            from interdiff_tpu.ops.pallas_nn import on_tpu
+
+            use_pallas = on_tpu()
+        if use_pallas:
+            from interdiff_tpu.ops.pallas_nn import nearest_neighbor_pallas
+
+            batch_shape = a.shape[:-2]
+            a3 = a.reshape((-1,) + a.shape[-2:])
+            b3 = jnp.broadcast_to(
+                b, batch_shape + b.shape[-2:]).reshape((-1,) + b.shape[-2:])
+            d, i = nearest_neighbor_pallas(a3, b3)
+            return (d.reshape(batch_shape + (a.shape[-2],)),
+                    i.reshape(batch_shape + (a.shape[-2],)))
+    P2 = b.shape[-2]
+    if chunk is None or chunk >= P2:
+        d = (jnp.sum(a * a, axis=-1)[..., :, None]
+             + jnp.sum(b * b, axis=-1)[..., None, :]
+             - 2.0 * jnp.einsum("...pd,...qd->...pq", a, b))
+        return (jnp.maximum(jnp.min(d, axis=-1), 0.0),
+                jnp.argmin(d, axis=-1).astype(jnp.int32))
+    assert P2 % chunk == 0, f"P2={P2} not divisible by chunk={chunk}"
+    return _chunked_nn(a, b, chunk)
+
+
+def _gather(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """points [..., P, D], idx [..., Q] -> [..., Q, D]."""
+    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32)
+                               .repeat(points.shape[-1], -1), axis=-2)
+
+
+def point2point_signed(
+    x: jax.Array,
+    y: jax.Array,
+    x_normals: Optional[jax.Array] = None,
+    y_normals: Optional[jax.Array] = None,
+    *,
+    return_vector: bool = False,
+    chunk: Optional[int] = 512,
+):
+    """Signed point-cloud distance, contract of `interdiff/tools.py:11-76`.
+
+    x [..., P1, 3] (e.g. human verts), y [..., P2, 3] (e.g. object points).
+    Returns (y2x_signed [..., P2], x2y_signed [..., P1], yidx_near, xidx_near
+    [, y2x_vec, x2y_vec]):
+
+      * ``y2x_signed``: distance from each y-point to its nearest x-point,
+        signed by ``x_normals`` (negative = behind the x surface);
+      * ``x2y_signed``: distance from each x-point to its nearest y-point,
+        signed by ``y_normals``;
+      * ``yidx_near``: index into x nearest to each y; ``xidx_near``: index
+        into y nearest to each x.
+    """
+    _, xidx_near = nearest_neighbor(x, y, chunk=chunk)  # nearest y per x
+    _, yidx_near = nearest_neighbor(y, x, chunk=chunk)  # nearest x per y
+
+    x_near = _gather(y, xidx_near)  # [..., P1, 3]
+    y_near = _gather(x, yidx_near)  # [..., P2, 3]
+
+    x2y = x - x_near
+    y2x = y - y_near
+
+    if x_normals is not None:
+        y_nn = _gather(x_normals, yidx_near)
+        in_out = jnp.sign(jnp.sum(y_nn * y2x, axis=-1))
+        y2x_signed = jnp.linalg.norm(y2x, axis=-1) * in_out
+    else:
+        y2x_signed = jnp.linalg.norm(y2x, axis=-1)
+
+    if y_normals is not None:
+        x_nn = _gather(y_normals, xidx_near)
+        in_out_x = jnp.sign(jnp.sum(x_nn * x2y, axis=-1))
+        x2y_signed = jnp.linalg.norm(x2y, axis=-1) * in_out_x
+    else:
+        x2y_signed = jnp.linalg.norm(x2y, axis=-1)
+
+    if return_vector:
+        return y2x_signed, x2y_signed, yidx_near, xidx_near, y2x, x2y
+    return y2x_signed, x2y_signed, yidx_near, xidx_near

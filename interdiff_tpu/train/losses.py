@@ -1,0 +1,170 @@
+"""Diffusion training losses, both tracks — exact reproductions of the
+weighted MSE pyramids in `interdiff/train_diffusion_smpl.py:60-166` (16
+terms, per-sample) and `interdiff/train_diffusion_skeleton.py:89-160` (13
+terms, scalar).
+
+Parity note (SURVEY.md §7 hard-part 7): the reference's "velocity" terms
+subtract the gt sequence *from itself* — a zero target — and additionally
+penalise the prediction's discrete acceleration
+(`train_diffusion_smpl.py:91-99,107-115`).  That is reproduced verbatim
+(they act as smoothness regularisers); ``faithful=False`` switches to the
+presumably-intended gt-velocity matching for ablation.
+
+All tensors are batch-first: pred/gt [B, T, C].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _l2_per_sample(a: jax.Array, b: jax.Array) -> jax.Array:
+    """MSE over (time, feature) -> [B] (`train_diffusion_smpl.py:54-58`)."""
+    return jnp.mean((a - b) ** 2, axis=(1, 2))
+
+
+def _mse(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.mean((a - b) ** 2)
+
+
+@dataclass(frozen=True)
+class SmplLossWeights:
+    """Defaults from `train_diffusion_smpl.py:566-573`."""
+
+    smplx_rot: float = 1.0
+    smplx_nonrot: float = 0.2
+    obj_rot: float = 0.1
+    obj_nonrot: float = 0.2
+    past: float = 1.0
+    v: float = 0.2
+
+
+def smpl_diffusion_losses(
+    pred: jax.Array, gt: jax.Array, *, past_len: int, smpl_dim: int = 132,
+    weights: SmplLossWeights = SmplLossWeights(), faithful: bool = True,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """16-term weighted loss -> (per-sample loss [B], weighted term dict)."""
+    w = weights
+    body = pred[..., : smpl_dim + 3]
+    body_gt = gt[..., : smpl_dim + 3]
+    obj = pred[..., smpl_dim + 3 :]
+    obj_gt = gt[..., smpl_dim + 3 :]
+    p = past_len
+
+    def split(x):
+        return x[..., :-3], x[..., -3:]
+
+    br, bt = split(body)
+    br_g, bt_g = split(body_gt)
+    orr, ot = split(obj)
+    or_g, ot_g = split(obj_gt)
+
+    def vel_past(x, x_gt):
+        if faithful:
+            tgt = jnp.zeros_like(x_gt[:, 1 : p + 1])
+        else:
+            tgt = x_gt[:, 1 : p + 1] - x_gt[:, :p]
+        return (_l2_per_sample(x[:, 1 : p + 1] - x[:, :p], tgt)
+                + _l2_per_sample(x[:, 1:p] - x[:, : p - 1],
+                                 x[:, 2 : p + 1] - x[:, 1:p]))
+
+    def vel_future(x, x_gt):
+        if faithful:
+            tgt = jnp.zeros_like(x_gt[:, p:])
+        else:
+            tgt = x_gt[:, p:] - x_gt[:, p - 1 : -1]
+        return (_l2_per_sample(x[:, p:] - x[:, p - 1 : -1], tgt)
+                + _l2_per_sample(x[:, p - 1 : -2] - x[:, p : -1],
+                                 x[:, p : -1] - x[:, p + 1 :]))
+
+    terms = {
+        "body_rot_past": _l2_per_sample(br[:, :p], br_g[:, :p])
+        * w.smplx_rot * w.past,
+        "body_nonrot_past": _l2_per_sample(bt[:, :p], bt_g[:, :p])
+        * w.smplx_nonrot * w.past,
+        "obj_rot_past": _l2_per_sample(orr[:, :p], or_g[:, :p])
+        * w.obj_rot * w.past,
+        "obj_nonrot_past": _l2_per_sample(ot[:, :p], ot_g[:, :p])
+        * w.obj_nonrot * w.past,
+        "body_rot_v_past": vel_past(br, br_g) * w.v * w.smplx_rot * w.past,
+        "body_nonrot_v_past": vel_past(bt, bt_g) * w.v * w.smplx_nonrot * w.past,
+        "obj_rot_v_past": vel_past(orr, or_g) * w.v * w.obj_rot * w.past,
+        "obj_nonrot_v_past": vel_past(ot, ot_g) * w.v * w.obj_nonrot * w.past,
+        "body_rot_future": _l2_per_sample(br[:, p:], br_g[:, p:]) * w.smplx_rot,
+        "body_nonrot_future": _l2_per_sample(bt[:, p:], bt_g[:, p:])
+        * w.smplx_nonrot,
+        "obj_rot_future": _l2_per_sample(orr[:, p:], or_g[:, p:]) * w.obj_rot,
+        "obj_nonrot_future": _l2_per_sample(ot[:, p:], ot_g[:, p:])
+        * w.obj_nonrot,
+        "body_rot_v_future": vel_future(br, br_g) * w.v * w.smplx_rot,
+        "body_nonrot_v_future": vel_future(bt, bt_g) * w.v * w.smplx_nonrot,
+        "obj_rot_v_future": vel_future(orr, or_g) * w.v * w.obj_rot,
+        "obj_nonrot_v_future": vel_future(ot, ot_g) * w.v * w.obj_nonrot,
+    }
+    loss = sum(terms.values())  # [B]
+    return loss, terms
+
+
+@dataclass(frozen=True)
+class SkeletonLossWeights:
+    """Defaults from `train_diffusion_skeleton.py:372-379`."""
+
+    past: float = 0.5
+    body: float = 2.0
+    obj: float = 1.0
+    obj_rot: float = 1.0
+    obj_nonrot: float = 1.0
+    quat_reg: float = 0.01
+    v: float = 1.0
+
+
+def skeleton_diffusion_losses(
+    pred: jax.Array, gt: jax.Array, *, past_len: int, num_joints: int = 21,
+    num_points: int = 12,
+    weights: SkeletonLossWeights = SkeletonLossWeights(),
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """13-term weighted loss -> (scalar loss, weighted term dict)
+    (`train_diffusion_skeleton.py:101-160`; these velocity terms use real
+    gt velocities, unlike the SMPL track)."""
+    w = weights
+    bd, od = num_joints * 3, num_points * 3
+    body, body_gt = pred[..., :bd], gt[..., :bd]
+    obj, obj_gt = pred[..., bd : bd + od], gt[..., bd : bd + od]
+    pose, pose_gt = pred[..., bd + od :], gt[..., bd + od :]
+    p = past_len
+
+    quat = pose[..., -4:]
+    quat_reg = jnp.mean(
+        (jnp.square(jnp.linalg.norm(quat, axis=-1)) - 1.0) ** 2)
+
+    terms = {
+        "body_past": _mse(body[:, :p], body_gt[:, :p]) * w.body * w.past,
+        "body_future": _mse(body[:, p:], body_gt[:, p:]) * w.body,
+        "obj_past": _mse(obj[:, :p], obj_gt[:, :p]) * w.obj * w.past,
+        "obj_future": _mse(obj[:, p:], obj_gt[:, p:]) * w.obj,
+        "loss_obj_nonrot_past": _mse(pose[:, :p, :3], pose_gt[:, :p, :3])
+        * w.obj_nonrot * w.past,
+        "loss_obj_nonrot_future": _mse(pose[:, p:, :3], pose_gt[:, p:, :3])
+        * w.obj_nonrot,
+        "loss_obj_rot_past": _mse(pose[:, :p, -4:], pose_gt[:, :p, -4:])
+        * w.obj_rot * w.past,
+        "loss_obj_rot_future": _mse(pose[:, p:, -4:], pose_gt[:, p:, -4:])
+        * w.obj_rot,
+        "quaternion_reg_loss": quat_reg * w.quat_reg,
+        "loss_obj_rot_v": _mse(pose[:, 1:, -4:] - pose[:, :-1, -4:],
+                               pose_gt[:, 1:, -4:] - pose_gt[:, :-1, -4:])
+        * w.obj_rot * w.v,
+        "loss_obj_nonrot_v": _mse(pose[:, 1:, :3] - pose[:, :-1, :3],
+                                  pose_gt[:, 1:, :3] - pose_gt[:, :-1, :3])
+        * w.obj_nonrot * w.v,
+        "loss_body_v": _mse(body[:, 1:] - body[:, :-1],
+                            body_gt[:, 1:] - body_gt[:, :-1]) * w.body * w.v,
+        "loss_obj_v": _mse(obj[:, 1:] - obj[:, :-1],
+                           obj_gt[:, 1:] - obj_gt[:, :-1]) * w.obj * w.v,
+    }
+    loss = sum(terms.values())
+    return loss, terms

@@ -1,0 +1,304 @@
+"""Train steps (optax AdamW) + data-parallel sharding over a device mesh.
+
+Replaces the reference's PyTorch-Lightning single-GPU loops
+(`interdiff/train_diffusion_{smpl,skeleton}.py`, `train_correction_*.py`):
+one jitted step function per track, parameters replicated, batch sharded
+over the mesh's ``data`` axis — gradients are reduced by XLA's automatic
+collectives (the pjit equivalent of DDP allreduce; the reference has no
+distributed path at all, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from interdiff_tpu.diffusion.gaussian import GaussianDiffusion
+from interdiff_tpu.models.mdm_skeleton import MDMSkeleton
+from interdiff_tpu.models.mdm_smpl import MDMSmpl, smpl_gt_from_raw
+from interdiff_tpu.train.losses import (
+    SkeletonLossWeights,
+    SmplLossWeights,
+    skeleton_diffusion_losses,
+    smpl_diffusion_losses,
+)
+
+
+@struct.dataclass
+class TrainState:
+    """Minimal train state (params + optax)."""
+
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), tx=tx)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+def adamw(lr: float = 3e-4, weight_decay: float = 0.0
+          ) -> optax.GradientTransformation:
+    """AdamW with the reference defaults (`train_diffusion_smpl.py:177-183`,
+    lr 3e-4, l2_norm 0)."""
+    return optax.adamw(lr, weight_decay=weight_decay)
+
+
+def sample_timesteps(key: jax.Array, batch: int, num_timesteps: int
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """UniformSampler (`diffusion/resample.py:42-55`): t ~ U, weights = 1."""
+    t = jax.random.randint(key, (batch,), 0, num_timesteps)
+    return t, jnp.ones((batch,), jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# skeleton track
+# ---------------------------------------------------------------------------
+
+def skeleton_gt_from_batch(batch: Dict[str, jax.Array]) -> jax.Array:
+    """Batch dict -> state tensor [B, T, 106]."""
+    B, T = batch["skeleton"].shape[:2]
+    return jnp.concatenate([
+        batch["skeleton"].reshape(B, T, -1),
+        batch["obj_points"].reshape(B, T, -1),
+        batch["poses"],
+    ], axis=-1)
+
+
+def make_skeleton_train_step(
+    model: MDMSkeleton, diffusion: GaussianDiffusion, *,
+    weights: SkeletonLossWeights = SkeletonLossWeights(),
+) -> Callable:
+    """Returns ``step(state, batch, key) -> (state, metrics)``; jit/pjit it
+    with the batch sharded on axis 0."""
+
+    def loss_fn(params, batch, key):
+        k_t, k_noise = jax.random.split(key)
+        gt = skeleton_gt_from_batch(batch)
+        zero_pose = batch["zero_pose_obj"]
+        memory = model.apply(
+            params, batch["skeleton"], batch["obj_points"], batch["poses"],
+            zero_pose, method=MDMSkeleton.encode, deterministic=True)[0]
+        t, _ = sample_timesteps(k_t, gt.shape[0], diffusion.num_timesteps)
+        noise = jax.random.normal(k_noise, gt.shape, gt.dtype)
+
+        def model_fn(x, ts):
+            return model.apply(params, x, ts, zero_pose, memory)
+
+        pred, target = diffusion.training_losses(model_fn, gt, t, noise=noise)
+        loss, terms = skeleton_diffusion_losses(
+            pred, target, past_len=model.past_len,
+            num_joints=model.num_joints, num_points=model.num_points,
+            weights=weights)
+        metrics = {k: v for k, v in terms.items()}
+        metrics["loss"] = loss
+        return loss, metrics
+
+    def step(state: TrainState, batch, key):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key)
+        return state.apply_gradients(grads), metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# SMPL track
+# ---------------------------------------------------------------------------
+
+def smpl_cond_inputs(batch: Dict[str, jax.Array]) -> Tuple[jax.Array, jax.Array]:
+    """Batch dict -> (gt state [B,T,144], obj_points [B,P,6])."""
+    gt = smpl_gt_from_raw(batch["body_pose"][..., :66], batch["body_trans"],
+                          batch["obj_angles"], batch["obj_trans"])
+    return gt, batch["obj_points"]
+
+
+def make_smpl_train_step(
+    model: MDMSmpl, diffusion: GaussianDiffusion, *,
+    weights: SmplLossWeights = SmplLossWeights(),
+) -> Callable:
+    """Returns ``step(state, batch, key) -> (state, metrics)``."""
+
+    def loss_fn(params, batch, key):
+        k_t, k_noise = jax.random.split(key)
+        gt, obj_points = smpl_cond_inputs(batch)
+        memory = model.apply(params, gt, obj_points, method=MDMSmpl.encode)
+        t, sampler_w = sample_timesteps(k_t, gt.shape[0],
+                                        diffusion.num_timesteps)
+        noise = jax.random.normal(k_noise, gt.shape, gt.dtype)
+
+        def model_fn(x, ts):
+            return model.apply(params, x, ts, memory)
+
+        pred, target = diffusion.training_losses(model_fn, gt, t, noise=noise)
+        per_sample, terms = smpl_diffusion_losses(
+            pred, target, past_len=model.past_len, smpl_dim=model.smpl_dim,
+            weights=weights)
+        loss = jnp.mean(per_sample * sampler_w)
+        metrics = {k: jnp.mean(v) for k, v in terms.items()}
+        metrics["loss"] = loss
+        # per-timestep-quartile diagnostics (`train_diffusion_smpl.py:168-175`)
+        quartile = (4 * t) // diffusion.num_timesteps
+        for q in range(4):
+            mask = (quartile == q).astype(jnp.float32)
+            metrics[f"loss_q{q}"] = (jnp.sum(per_sample * mask)
+                                     / jnp.maximum(jnp.sum(mask), 1.0))
+        return loss, metrics
+
+    def step(state: TrainState, batch, key):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key)
+        return state.apply_gradients(grads), metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# correction networks (BatchNorm -> mutable batch_stats in the state)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class CorrectionTrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, variables, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                   batch_stats=variables.get("batch_stats", {}),
+                   opt_state=tx.init(variables["params"]), tx=tx)
+
+    def apply_gradients(self, grads, new_stats):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            batch_stats=new_stats, opt_state=new_opt)
+
+
+def make_correction_smpl_train_step(projector, *, weights=None,
+                                    nn_chunk: Optional[int] = 512,
+                                    initialize: bool = False) -> Callable:
+    """`train_correction_smpl.py:187-189,263` — contact/penetration + 8
+    pose-MSE losses.  ``initialize`` is the epoch<10 mean-marker mode — a
+    *static* compile-time switch (build one step per phase and swap at
+    epoch 10).  ``step(state, batch, key, epoch) -> (state, metrics)``;
+    ``batch`` needs obj_angles/obj_trans (axis-angle), markers [B,T,67,7]
+    (xyz|normal|contact), human_verts [B,T,V,7], obj_points [B,P,>=3]."""
+    from interdiff_tpu.geometry.rotations import (
+        axis_angle_to_matrix as _aa2m,
+        matrix_to_rotation_6d as _m2r6,
+    )
+    from interdiff_tpu.models.correction import ObjProjectorSmpl
+    from interdiff_tpu.train.losses_correction import (
+        CorrectionLossWeights,
+        correction_smpl_losses,
+    )
+
+    weights = weights or CorrectionLossWeights()
+
+    def loss_fn(params, batch_stats, batch, key, epoch):
+        markers = batch["markers"]
+        contact = markers[:, projector.past_len :, :, 6].sum(axis=1)  # [B,P]
+        rot6d = _m2r6(_aa2m(batch["obj_angles"]))
+        obj_gt = jnp.concatenate([rot6d, batch["obj_trans"]], axis=-1)
+        (obj_pred), new_model_state = projector.apply(
+            {"params": params, "batch_stats": batch_stats},
+            obj_gt, markers[..., :3], contact,
+            initialize=initialize, train=True, select_key=key,
+            mutable=["batch_stats"], method=ObjProjectorSmpl.sample)
+        loss, terms = correction_smpl_losses(
+            obj_pred, obj_gt, past_len=projector.past_len,
+            obj_points=batch["obj_points"], human_verts=batch["human_verts"],
+            epoch=epoch, weights=weights, nn_chunk=nn_chunk)
+        terms["loss"] = loss
+        return loss, (terms, new_model_state["batch_stats"])
+
+    def step(state: CorrectionTrainState, batch, key, epoch):
+        grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, key, epoch)
+        return state.apply_gradients(grads, new_stats), metrics
+
+    return step
+
+
+def make_correction_skeleton_train_step(projector, *, weights=None
+                                        ) -> Callable:
+    """`train_correction_skeleton.py:128-160`: quaternion-space 8-term loss.
+    ``step(state, batch, key, epoch) -> (state, metrics)``; batch needs
+    skeleton [B,T,21,3] and poses [B,T,7] (trans | quat xyzw)."""
+    from interdiff_tpu.models.correction import ObjProjectorSkeleton
+    from interdiff_tpu.train.losses_correction import (
+        CorrectionLossWeights,
+        correction_skeleton_losses,
+    )
+
+    weights = weights or CorrectionLossWeights()
+
+    def loss_fn(params, batch_stats, batch):
+        poses = batch["poses"]
+        quat_gt, trans_gt = poses[..., 3:7], poses[..., :3]
+        (quat_p, trans_p), new_model_state = projector.apply(
+            {"params": params, "batch_stats": batch_stats},
+            quat_gt, trans_gt, batch["skeleton"], train=True,
+            mutable=["batch_stats"], method=ObjProjectorSkeleton.sample)
+        # layout [quat | trans] so [..., :-3]/[..., -3:] split like the ref
+        obj_pred = jnp.concatenate([quat_p, trans_p], axis=-1)
+        obj_gt = jnp.concatenate([quat_gt, trans_gt], axis=-1)
+        loss, terms = correction_skeleton_losses(
+            obj_pred, obj_gt, past_len=projector.past_len, weights=weights)
+        terms["loss"] = loss
+        return loss, (terms, new_model_state["batch_stats"])
+
+    def step(state: CorrectionTrainState, batch, key, epoch):
+        del key, epoch
+        grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch)
+        return state.apply_gradients(grads, new_stats), metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# data-parallel wiring
+# ---------------------------------------------------------------------------
+
+def data_parallel_step(step_fn: Callable, mesh: jax.sharding.Mesh,
+                       *, data_axis: str = "data",
+                       extra_args: int = 1) -> Callable:
+    """jit a train step ``(state, batch, *extras) -> (state, metrics)`` with
+    params replicated and batch sharded over ``data_axis``; XLA inserts the
+    gradient psum over ICI.  ``extra_args`` counts the replicated trailing
+    args (PRNG key, epoch, ...)."""
+    replicated = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    sharded = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(data_axis))
+
+    def place_batch(batch):
+        return jax.tree.map(lambda x: jax.device_put(x, sharded), batch)
+
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(replicated, sharded) + (replicated,) * extra_args,
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
+    jitted.place_batch = place_batch  # convenience for callers
+    return jitted

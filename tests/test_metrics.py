@@ -1,0 +1,77 @@
+"""Eval metric tests (`interdiff/eval_smpl_short.py:24-81`,
+`train_diffusion_skeleton.py:65-87`)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from interdiff_tpu.eval.metrics import (
+    quat_min_error,
+    skeleton_metrics,
+    smooth_seam,
+    smpl_metrics,
+)
+
+
+def test_quat_min_error_sign_invariance(rng):
+    q = rng.standard_normal((4, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    e = quat_min_error(jnp.asarray(q), jnp.asarray(-q), ord=1)
+    np.testing.assert_allclose(np.asarray(e), 0.0, atol=1e-6)
+    e2 = quat_min_error(jnp.asarray(q), jnp.asarray(q), ord=2)
+    np.testing.assert_allclose(np.asarray(e2), 0.0, atol=1e-6)
+
+
+def test_skeleton_metrics_perfect_prediction(rng):
+    B, T, J, P = 2, 20, 21, 12
+    body = jnp.asarray(rng.standard_normal((B, T, J, 3)).astype(np.float32))
+    obj = jnp.asarray(rng.standard_normal((B, T, P, 3)).astype(np.float32))
+    pose = jnp.asarray(rng.standard_normal((B, T, 7)).astype(np.float32))
+    m = skeleton_metrics(body, body, obj, obj, pose, pose)
+    for v in m.values():
+        np.testing.assert_allclose(float(v), 0.0, atol=1e-6)
+
+
+def test_skeleton_metrics_known_offset(rng):
+    B, T, J, P = 1, 20, 21, 12
+    body = jnp.zeros((B, T, J, 3))
+    obj = jnp.zeros((B, T, P, 3))
+    pose = jnp.zeros((B, T, 7))
+    body_p = body + jnp.asarray([3.0, 0, 0])
+    m = skeleton_metrics(body_p, body, obj, obj, pose, pose)
+    np.testing.assert_allclose(float(m["mpjpe_h"]), 3.0, atol=1e-6)
+
+
+def test_smooth_seam_c1():
+    """After the fix, frame[-F] == 2*frame[-F-1] - frame[-F-2]
+    (linear extrapolation -> C1 at the seam), ref `eval_smpl_short.py:217`."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 10, 4)).astype(np.float32))
+    F = 6
+    out = np.asarray(smooth_seam(x, F))
+    x_np = np.asarray(x)
+    np.testing.assert_allclose(out[:, -F],
+                               2 * x_np[:, -F - 1] - x_np[:, -F - 2],
+                               atol=1e-5)
+    # past frames untouched
+    np.testing.assert_allclose(out[:, : -F], x_np[:, : -F], atol=1e-7)
+
+
+def test_smpl_metrics_shapes(rng):
+    B, T, J, V, P = 2, 5, 52, 64, 16
+    obj = rng.standard_normal((B, T, 6)).astype(np.float32)
+    jtr = rng.standard_normal((B, T, J, 3)).astype(np.float32)
+    body = rng.standard_normal((B, T, 159)).astype(np.float32)
+    verts = rng.standard_normal((B, T, V, 3)).astype(np.float32)
+    faces = np.array([[0, 1, 2], [2, 3, 4]], dtype=np.int32)
+    pts = rng.standard_normal((B, P, 3)).astype(np.float32)
+    m = smpl_metrics(jnp.asarray(obj), jnp.asarray(jtr), jnp.asarray(body),
+                     jnp.asarray(obj), jnp.asarray(jtr), jnp.asarray(body),
+                     jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(pts),
+                     nn_chunk=None)
+    for k in ("global_mpjpe", "local_mpjpe", "body_translation",
+              "obj_translation", "obj_rot_error", "penetrate"):
+        assert m[k].shape == (B,)
+    # identical pred/gt -> all zero except penetrate (geometry-dependent)
+    for k in ("global_mpjpe", "local_mpjpe", "body_translation",
+              "obj_translation", "obj_rot_error"):
+        np.testing.assert_allclose(np.asarray(m[k]), 0.0, atol=1e-5)
