@@ -19,7 +19,7 @@ import time
 
 import numpy as np
 
-B = 32  # reference eval batch (`eval_smpl_short.py:392`)
+B = int(os.environ.get("INTERDIFF_BENCH_BATCH", "32"))  # ref eval batch 32
 T_PAST, T_FUT = 10, 25
 T = T_PAST + T_FUT
 P = 2048  # object points (`data/prepare_behave.py:92`)

@@ -399,6 +399,100 @@ class GaussianDiffusion:
         (img, _), _ = jax.lax.scan(step, (img, key), indices)
         return img
 
+    def ddim_reverse_sample(self, model_fn, x, t, *, clip_denoised=False,
+                            denoised_fn=None):
+        """Deterministic encoding x_t -> x_{t+1} (ODE forward), contract of
+        `gaussian_diffusion.py:847-884` (eta must be 0)."""
+        out = self.p_mean_variance(model_fn, x, t, clip_denoised=clip_denoised,
+                                   denoised_fn=denoised_fn)
+        nd = x.ndim
+        eps = ((_extract(self.sqrt_recip_alphas_cumprod, t, nd) * x
+                - out["pred_xstart"])
+               / _extract(self.sqrt_recipm1_alphas_cumprod, t, nd))
+        alpha_bar_next = _extract(self.alphas_cumprod_next, t, nd)
+        mean_pred = (out["pred_xstart"] * jnp.sqrt(alpha_bar_next)
+                     + jnp.sqrt(1 - alpha_bar_next) * eps)
+        return {"sample": mean_pred, "pred_xstart": out["pred_xstart"]}
+
+    # -- PLMS (pseudo linear multistep, `gaussian_diffusion.py:1001-1196`) ----
+    def plms_sample_loop(self, model_fn, key, shape=None, *, noise=None,
+                         clip_denoised=False, denoised_fn=None,
+                         inpaint: Optional[Inpaint] = None, order: int = 2):
+        """PLMS sampling as one ``lax.scan`` carrying the eps history.
+
+        Step 0 uses the Pseudo Improved Euler warm-up (two model calls);
+        later steps use the Adams-Bashforth combination of up to ``order``
+        stored eps predictions — semantics of the reference's
+        ``plms_sample`` (`:1001-1084`).
+        """
+        assert 1 <= order <= 4, "order must be 1..4"
+        if noise is None:
+            key, k_init = jax.random.split(key)
+            img = jax.random.normal(k_init, shape, dtype=jnp.float32)
+            if inpaint is not None:
+                img = jnp.where(inpaint.mask, inpaint.motion, img)
+        else:
+            img = noise
+            shape = noise.shape
+        nd = img.ndim
+
+        def model_eps(x, t):
+            out = self.p_mean_variance(model_fn, x, t,
+                                       clip_denoised=clip_denoised,
+                                       denoised_fn=denoised_fn,
+                                       inpaint=inpaint)
+            eps = self.predict_eps_from_xstart(x, t, out["pred_xstart"])
+            return eps, out["pred_xstart"]
+
+        # Adams-Bashforth coefficients, rows indexed by cur_order-1; columns
+        # weight old_eps[-1], old_eps[-2], ... (newest first)
+        ab = jnp.asarray([
+            [1.0, 0.0, 0.0, 0.0],
+            [3 / 2, -1 / 2, 0.0, 0.0],
+            [23 / 12, -16 / 12, 5 / 12, 0.0],
+            [55 / 24, -59 / 24, 37 / 24, -9 / 24],
+        ], dtype=jnp.float32)
+
+        def step(carry, idx):
+            x, hist, count = carry  # hist: [order, *shape] newest at slot 0
+            i = idx
+            t = jnp.full((shape[0],), i, dtype=jnp.int32)
+            eps, x0 = model_eps(x, t)
+            alpha_bar_prev = _extract(self.alphas_cumprod_prev, t, nd)
+
+            def euler_warmup(_):
+                mean1 = (x0 * jnp.sqrt(alpha_bar_prev)
+                         + jnp.sqrt(1 - alpha_bar_prev) * eps)
+                eps2, _ = model_eps(mean1, jnp.maximum(t - 1, 0))
+                return (eps + eps2) / 2.0
+
+            def adams(_):
+                cur = jnp.minimum(count + 1, order)
+                w = ab[cur - 1]  # [4]
+                acc = w[0] * eps
+                for k in range(1, order):
+                    acc = acc + w[k] * hist[k - 1]
+                return acc
+
+            use_warmup = jnp.logical_and(count == 0, order > 1)
+            eps_prime = jax.lax.cond(use_warmup, euler_warmup, adams,
+                                     operand=None)
+            pred_prime = self.predict_xstart_from_eps(x, t, eps_prime)
+            mean_pred = (pred_prime * jnp.sqrt(alpha_bar_prev)
+                         + jnp.sqrt(1 - alpha_bar_prev) * eps_prime)
+            nonzero = (t != 0).astype(x.dtype).reshape((-1,) + (1,) * (nd - 1))
+            sample = mean_pred * nonzero + x0 * (1 - nonzero)
+
+            new_hist = (jnp.concatenate([eps[None], hist[:-1]], axis=0)
+                        if order > 1 else hist)
+            return (sample, new_hist, count + 1), None
+
+        hist0 = jnp.zeros((max(order - 1, 1),) + tuple(shape), jnp.float32)
+        indices = jnp.arange(self.num_timesteps)[::-1]
+        (img, _, _), _ = jax.lax.scan(
+            step, (img, hist0, jnp.asarray(0, jnp.int32)), indices)
+        return img
+
     # -- training --------------------------------------------------------------
     def training_losses(self, model_fn, x_start, t, *, noise,
                         inpaint: Optional[Inpaint] = None):

@@ -64,12 +64,14 @@ def make_correction_denoised_fn(
     hand_pose: jax.Array,  # [B, T, 90] gt hand poses
     betas: jax.Array,  # [B, T, 10]
     obj_points: jax.Array,  # [B, P, 3] canonical template xyz
+    markers_idx: Optional[np.ndarray] = None,  # override for tiny test meshes
 ) -> Callable:
     """Build the jittable physics-informed `denoised_fn`
     (`eval_smpl_short.py:84-130`)."""
     D = cfg.smpl_dim + 3  # body block
     idx = pad_idx(cfg)
-    markers_idx = jnp.asarray(MARKERSET_SSM67_SMPLH)
+    markers_idx = jnp.asarray(MARKERSET_SSM67_SMPLH
+                              if markers_idx is None else markers_idx)
 
     body_gt6 = gt[..., :D]
     obj_gt9 = gt[..., D:]
@@ -147,6 +149,7 @@ def make_sampler(
     projector: Optional[ObjProjectorSmpl] = None,
     projector_params: Any = None,
     use_correction: bool = False,
+    markers_idx: Optional[np.ndarray] = None,
 ) -> Callable:
     """Build ``sample(key, gt, obj_points6, hand_pose, betas) -> x [B,T,144]``
     — `sample_once` / `sample_once_proj` (`eval_smpl_short.py:133-215`).
@@ -164,7 +167,7 @@ def make_sampler(
             denoised_fn = make_correction_denoised_fn(
                 cfg, smpl, projector, projector_params, gt=gt,
                 hand_pose=hand_pose, betas=betas,
-                obj_points=obj_points6[..., :3])
+                obj_points=obj_points6[..., :3], markers_idx=markers_idx)
 
         key, k_noise = jax.random.split(key)
         noise = jax.random.normal(k_noise, gt.shape, gt.dtype)

@@ -129,7 +129,9 @@ def _activation(name: str) -> Callable[[jax.Array], jax.Array]:
     if name == "relu":
         return nn.relu
     if name == "gelu":
-        return nn.gelu  # exact=True default matches torch F.gelu
+        # torch F.gelu defaults to the exact erf form; flax's default is the
+        # tanh approximation — force exact for checkpoint parity
+        return lambda x: nn.gelu(x, approximate=False)
     raise ValueError(f"activation must be relu/gelu, got {name}")
 
 

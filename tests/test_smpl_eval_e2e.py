@@ -1,0 +1,124 @@
+"""SMPL-track eval pipeline end-to-end on tiny shapes: sampler with the
+physics-informed correction compiled into the scan (SMPL FK + signed
+distance + projector behind lax.cond), postprocessing, metrics, rollout."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from interdiff_tpu.diffusion.gaussian import GaussianDiffusion
+from interdiff_tpu.eval.smpl_long import (
+    denormalize_chunk,
+    recanonicalize_state,
+    rollout,
+)
+from interdiff_tpu.eval.smpl_short import (
+    SmplEvalConfig,
+    make_sampler,
+    postprocess_sample,
+)
+from interdiff_tpu.models.correction import ObjProjectorSmpl
+from interdiff_tpu.models.mdm_smpl import MDMSmpl
+from interdiff_tpu.smpl.model import SmplModel
+
+STEPS = 6
+
+
+def _tiny_smpl(rng, V=64, J=22 + 30):
+    """Synthetic SMPL-H-shaped model (52 joints so 156-dim poses work)."""
+    parents = np.zeros(J, dtype=np.int64)
+    for j in range(1, J):
+        parents[j] = (j - 1) // 2  # binary-tree topology
+    return SmplModel.create(
+        v_template=rng.standard_normal((V, 3)) * 0.2,
+        shapedirs=rng.standard_normal((V, 3, 10)) * 0.01,
+        posedirs=rng.standard_normal((V, 3, 9 * (J - 1))) * 0.001,
+        j_regressor=np.abs(rng.random((J, V)))
+        / np.abs(rng.random((J, V))).sum(1, keepdims=True),
+        weights=np.eye(V, J) * 0 + 1.0 / J,
+        parents=parents,
+        faces=np.array([[0, 1, 2], [1, 2, 3], [2, 3, 4]], dtype=np.int32),
+    )
+
+
+def _setup(rng, use_correction):
+    cfg = SmplEvalConfig(past_len=3, future_len=4, correction_t_max=STEPS,
+                         correction_every=2, nn_chunk=None)
+    model = MDMSmpl(embed_dim=32, num_heads=4, ff_size=32, num_layers=4,
+                    past_len=3, future_len=4, use_pointnet2=False)
+    diffusion = GaussianDiffusion.create_named(steps=STEPS)
+    smpl = _tiny_smpl(rng)
+    T = cfg.seq_len
+    B, P = 2, 16
+    gt = jnp.asarray(rng.standard_normal((B, T, 144)).astype(np.float32))
+    obj_points6 = jnp.asarray(rng.standard_normal((B, P, 6)).astype(np.float32))
+    hand = jnp.asarray(rng.standard_normal((B, T, 90)).astype(np.float32) * 0.1)
+    betas = jnp.zeros((B, T, 10))
+
+    params = model.init(jax.random.PRNGKey(0), gt, obj_points6,
+                        jnp.zeros((B,), jnp.int32),
+                        method=MDMSmpl.init_forward)
+    projector = projector_params = None
+    markers_idx = None
+    if use_correction:
+        markers_idx = np.arange(40)  # 40 "markers" on the 64-vert test mesh
+        projector = ObjProjectorSmpl(num_markers=40, n_pre=4, past_len=3,
+                                     future_len=4)
+        projector_params = projector.init(
+            jax.random.PRNGKey(1), gt[..., 135:],
+            jnp.zeros((B, T, 40, 3)), jnp.zeros((B, 40)))
+    sampler = jax.jit(make_sampler(
+        cfg, model, diffusion, params, smpl=smpl, projector=projector,
+        projector_params=projector_params, use_correction=use_correction,
+        markers_idx=markers_idx))
+    return cfg, smpl, sampler, gt, obj_points6, hand, betas
+
+
+def test_smpl_sampler_no_correction(rng):
+    cfg, smpl, sampler, gt, pts, hand, betas = _setup(rng, False)
+    x = sampler(jax.random.PRNGKey(2), gt, pts, hand, betas)
+    assert x.shape == gt.shape
+    assert np.isfinite(np.asarray(x)).all()
+    # inpainted past == gt
+    np.testing.assert_allclose(np.asarray(x[:, :3]), np.asarray(gt[:, :3]),
+                               atol=1e-5)
+    out = postprocess_sample(cfg, smpl, x, hand, betas)
+    assert out["body_pred"].shape == (2, 7, 66 + 90 + 3)
+    assert out["verts"].shape == (2, 7, 64, 3)
+
+
+def test_smpl_sampler_with_correction(rng):
+    cfg, smpl, sampler, gt, pts, hand, betas = _setup(rng, True)
+    x = sampler(jax.random.PRNGKey(3), gt, pts, hand, betas)
+    assert np.isfinite(np.asarray(x)).all()
+    # NOTE: unlike the plain sampler, past frames may legitimately deviate
+    # from gt here — the reference applies the projector blend AFTER the
+    # inpainting override (`gaussian_diffusion.py:307-311` then `:354-360`),
+    # so corrected samples rewrite the object block on all frames.
+    body_past = x[..., :135][:, :3]
+    np.testing.assert_allclose(np.asarray(body_past),
+                               np.asarray(gt[..., :135][:, :3]), atol=1e-5)
+
+
+def test_recanonicalize_roundtrip(rng):
+    cfg = SmplEvalConfig(past_len=3, future_len=4)
+    B, T = 2, 7
+    x = jnp.asarray(rng.standard_normal((B, T, 144)).astype(np.float32))
+    pelvis = jnp.asarray(rng.standard_normal((B, T, 3)).astype(np.float32))
+    nb = recanonicalize_state(x, pelvis, cfg)
+    back = denormalize_chunk(nb["gt"], nb["centroid"], cfg)
+    # the past window of the denormalized state equals the original tail
+    np.testing.assert_allclose(np.asarray(back[:, :3]),
+                               np.asarray(x[:, -3:]), atol=1e-5)
+
+
+def test_rollout_extends_trajectory(rng):
+    cfg, smpl, sampler, gt, pts, hand, betas = _setup(rng, False)
+
+    def pelvis_fn(x, h, b):
+        return postprocess_sample(cfg, smpl, x, h, b)["pelvis"]
+
+    full = rollout(sampler, pelvis_fn, jax.random.PRNGKey(4), gt, pts, hand,
+                   betas, num_chunks=2, cfg=cfg)
+    assert full.shape == (2, 7 + 2 * cfg.future_len, 144)
+    assert np.isfinite(np.asarray(full)).all()
