@@ -34,7 +34,10 @@ def measure_tpu() -> float:
     from interdiff_tpu.diffusion.gaussian import GaussianDiffusion, Inpaint
     from interdiff_tpu.models.mdm_smpl import MDMSmpl
 
-    model = MDMSmpl()
+    # INTERDIFF_BENCH_BF16=1 runs the transformer stacks in bfloat16
+    # (params + activations; DDPM math stays f32) — the MXU-native mode
+    bf16 = os.environ.get("INTERDIFF_BENCH_BF16") == "1"
+    model = MDMSmpl(dtype=jnp.bfloat16 if bf16 else None)
     diffusion = GaussianDiffusion.create_named(
         steps=1000, timestep_respacing=str(STEPS))
 
@@ -45,6 +48,10 @@ def measure_tpu() -> float:
     params = model.init(jax.random.PRNGKey(0), gt, obj_points,
                         jnp.zeros((B,), jnp.int32),
                         method=MDMSmpl.init_forward)
+    if bf16:
+        params = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, params)
 
     mask = jnp.zeros((B, T, 144), bool).at[:, :T_PAST].set(True)
 

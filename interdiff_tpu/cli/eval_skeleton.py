@@ -83,7 +83,7 @@ def main():
         projector_params, _ = load_correction_skeleton(args.correction_ckpt)
 
     sample = jax.jit(make_skeleton_sampler(
-        cfg, model, diffusion, params, projector=projector,
+        cfg, model, diffusion, projector=projector,
         projector_params=projector_params,
         use_correction=args.mode == "correction"))
 
@@ -116,8 +116,8 @@ def main():
             "obj": jnp.asarray(batch["obj_points"]),
             "pose": jnp.asarray(batch["poses"]),
         }
-        x = sample(k, gt_parts["body"], gt_parts["obj"], gt_parts["pose"],
-                   jnp.asarray(batch["zero_pose_obj"]))
+        x = sample(params, k, gt_parts["body"], gt_parts["obj"],
+                   gt_parts["pose"], jnp.asarray(batch["zero_pose_obj"]))
         pred = split_skeleton_state(x, cfg)
         m = skeleton_metrics(pred["body"], gt_parts["body"], pred["obj"],
                              gt_parts["obj"], pred["pose"], gt_parts["pose"],

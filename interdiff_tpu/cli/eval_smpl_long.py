@@ -93,10 +93,12 @@ def main():
                                      future_len=args.future_len)
         projector_params, _ = load_correction_smpl(args.correction_ckpt)
 
-    sample = jax.jit(make_sampler(
-        cfg, model, diffusion, params, smpl=smpl, projector=projector,
+    import functools
+
+    sample = functools.partial(jax.jit(make_sampler(
+        cfg, model, diffusion, smpl=smpl, projector=projector,
         projector_params=projector_params,
-        use_correction=args.mode == "correction"))
+        use_correction=args.mode == "correction")), params)
 
     def pelvis_fn(x, hand, betas):
         return postprocess_sample(cfg, smpl, x, hand, betas)["pelvis"]

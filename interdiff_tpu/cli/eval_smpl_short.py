@@ -92,7 +92,7 @@ def main():
         projector_params, _ = load_correction_smpl(args.correction_ckpt)
 
     sample = jax.jit(make_sampler(
-        cfg, model, diffusion, params, smpl=smpl, projector=projector,
+        cfg, model, diffusion, smpl=smpl, projector=projector,
         projector_params=projector_params,
         use_correction=args.mode == "correction"))
 
@@ -121,7 +121,7 @@ def main():
         best = None
         for j in range(args.diverse_samples):
             key, k = jax.random.split(key)
-            x = sample(k, gt, obj_points6, hand, betas)
+            x = sample(params, k, gt, obj_points6, hand, betas)
             out = postprocess_sample(cfg, smpl, x, hand, betas)
             m = smpl_metrics(
                 out["obj_pred"][:, p:], out["jtr"][:, p:],

@@ -50,6 +50,12 @@ def main():
         data_parallel_step,
         make_skeleton_train_step,
     )
+    from interdiff_tpu.eval.metrics import skeleton_metrics
+    from interdiff_tpu.eval.skeleton import (
+        SkeletonEvalConfig,
+        make_skeleton_sampler,
+        split_skeleton_state,
+    )
     from interdiff_tpu.utils.train_io import CheckpointManager, MetricsLogger
 
     rng = seed_everything(args.seed)
@@ -74,6 +80,24 @@ def main():
     ckpt = CheckpointManager(os.path.join(args.results_dir, "ckpt"))
     logger = MetricsLogger(os.path.join(args.results_dir, "metrics.jsonl"))
 
+    # validation = full inpainting sampling + metrics, like the reference's
+    # validation_step (`train_diffusion_skeleton.py:272-295`)
+    eval_cfg = SkeletonEvalConfig(past_len=args.past_len,
+                                  future_len=args.future_len)
+    val_sampler = jax.jit(make_skeleton_sampler(eval_cfg, model, diffusion))
+
+    def run_validation(params, batch, key):
+        x = val_sampler(params, key, jnp.asarray(batch["skeleton"]),
+                        jnp.asarray(batch["obj_points"]),
+                        jnp.asarray(batch["poses"]),
+                        jnp.asarray(batch["zero_pose_obj"]))
+        pred = split_skeleton_state(x, eval_cfg)
+        m = skeleton_metrics(
+            pred["body"], jnp.asarray(batch["skeleton"]), pred["obj"],
+            jnp.asarray(batch["obj_points"]), pred["pose"],
+            jnp.asarray(batch["poses"]), start=args.past_len)
+        return {k: float(v) for k, v in m.items()}
+
     key = jax.random.PRNGKey(args.seed)
 
     def epoch_batches():
@@ -93,6 +117,7 @@ def main():
     i = 0
     for epoch in range(args.epochs if not args.synthetic else 1):
         for batch in epoch_batches():
+            batch_np_last = batch
             batch = step.place_batch(
                 {k: jnp.asarray(v) for k, v in batch.items()})
             key, k_step = jax.random.split(key)
@@ -102,8 +127,12 @@ def main():
                 print(f"step {i} loss {float(metrics['loss']):.4f}")
             i += 1
         if (epoch + 1) % args.val_every == 0 or args.synthetic:
+            key, k_val = jax.random.split(key)
+            val_metrics = run_validation(state.params, batch_np_last, k_val)
+            logger.log(i, val_metrics, epoch=epoch, split="valid")
+            print(f"epoch {epoch} val {val_metrics}")
             ckpt.save(i, jax.device_get(state.params),
-                      val_loss=float(metrics["loss"]))
+                      val_loss=val_metrics["mpjpe_h"])
     ckpt.wait()
     logger.close()
     print("done:", i, "steps")

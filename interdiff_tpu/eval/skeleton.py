@@ -57,17 +57,18 @@ def make_skeleton_sampler(
     cfg: SkeletonEvalConfig,
     model: MDMSkeleton,
     diffusion: GaussianDiffusion,
-    params: Any,
     *,
     projector: Optional[ObjProjectorSkeleton] = None,
     projector_params: Any = None,
     use_correction: bool = False,
 ) -> Callable:
-    """Build ``sample(key, skeleton, obj_points, poses, zero_pose_obj) ->
-    x [B,T,106]`` (`eval_skeleton.py:115-145`).  jit the result."""
+    """Build ``sample(params, key, skeleton, obj_points, poses,
+    zero_pose_obj) -> x [B,T,106]`` (`eval_skeleton.py:115-145`).  jit the
+    result; passing params per call lets one compiled sampler serve
+    validation across training steps."""
     bd, od = cfg.num_joints * 3, cfg.num_points * 3
 
-    def sample(key, skeleton, obj_points, poses, zero_pose_obj):
+    def sample(params, key, skeleton, obj_points, poses, zero_pose_obj):
         memory, gt = model.apply(params, skeleton, obj_points, poses,
                                  zero_pose_obj, method=MDMSkeleton.encode)
 

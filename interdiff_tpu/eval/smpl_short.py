@@ -143,7 +143,6 @@ def make_sampler(
     cfg: SmplEvalConfig,
     model: MDMSmpl,
     diffusion: GaussianDiffusion,
-    params: Any,
     *,
     smpl: Optional[SmplModel] = None,
     projector: Optional[ObjProjectorSmpl] = None,
@@ -151,11 +150,12 @@ def make_sampler(
     use_correction: bool = False,
     markers_idx: Optional[np.ndarray] = None,
 ) -> Callable:
-    """Build ``sample(key, gt, obj_points6, hand_pose, betas) -> x [B,T,144]``
-    — `sample_once` / `sample_once_proj` (`eval_smpl_short.py:133-215`).
-    jit the result; it compiles to a single scan."""
+    """Build ``sample(params, key, gt, obj_points6, hand_pose, betas) ->
+    x [B,T,144]`` — `sample_once` / `sample_once_proj`
+    (`eval_smpl_short.py:133-215`).  jit the result; it compiles to a single
+    scan, and params-per-call lets validation reuse one compilation."""
 
-    def sample(key, gt, obj_points6, hand_pose, betas):
+    def sample(params, key, gt, obj_points6, hand_pose, betas):
         memory = model.apply(params, gt, obj_points6, method=MDMSmpl.encode)
 
         def model_fn(x, ts):

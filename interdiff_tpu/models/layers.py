@@ -51,7 +51,8 @@ class PositionalEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
-        pe = jnp.asarray(sinusoidal_table(self.max_len, self.d_model))
+        pe = jnp.asarray(sinusoidal_table(self.max_len, self.d_model),
+                         dtype=x.dtype)
         x = x + pe[None, : x.shape[1]]
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
@@ -65,10 +66,12 @@ class TimestepEmbedder(nn.Module):
 
     latent_dim: int
     max_len: int = 5000
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 inference)
 
     @nn.compact
     def __call__(self, timesteps: jax.Array) -> jax.Array:
-        pe = jnp.asarray(sinusoidal_table(self.max_len, self.latent_dim))
+        pe = jnp.asarray(sinusoidal_table(self.max_len, self.latent_dim),
+                         dtype=self.dtype or jnp.float32)
         h = pe[timesteps.astype(jnp.int32)][:, None, :]  # [B, 1, D]
         h = nn.Dense(self.latent_dim, name="fc1")(h)
         h = nn.silu(h)

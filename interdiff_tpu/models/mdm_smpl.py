@@ -75,6 +75,10 @@ class MDMSmpl(nn.Module):
     cond_mask_prob: float = 0.0
     latent_usage: str = "memory"
     use_pointnet2: bool = True
+    # compute dtype for the transformer stacks (params stay f32; set
+    # jnp.bfloat16 for MXU-native inference — outputs are cast back to f32
+    # so the DDPM math keeps full precision)
+    dtype: Optional[jnp.dtype] = None
 
     @property
     def body_dim(self) -> int:
@@ -94,7 +98,8 @@ class MDMSmpl(nn.Module):
         else:
             self.pcEmbedding = nn.Dense(E, name="pcEmbedding")
         self.positional = PositionalEncoding(E, self.dropout, name="positional")
-        self.embedTimeStep = TimestepEmbedder(E, name="embedTimeStep")
+        self.embedTimeStep = TimestepEmbedder(E, dtype=self.dtype,
+                                              name="embedTimeStep")
         self.encoder = TransformerStack(
             E, self.num_heads, self.ff_size,
             mdm_stack_kinds(self.num_layers, cross=False),
@@ -117,6 +122,9 @@ class MDMSmpl(nn.Module):
         `diffusion_smpl.py:207-209`) -> memory [B, past_len, E].
         """
         B = gt.shape[0]
+        if self.dtype is not None:
+            gt = gt.astype(self.dtype)
+            obj_points = obj_points.astype(self.dtype)
         body = gt[..., : self.body_dim]
         obj = gt[..., self.body_dim :]
 
@@ -154,6 +162,11 @@ class MDMSmpl(nn.Module):
         """One denoiser call (`forward`/`_decode`, ref `:225-246`):
         x [B,T,144], t [B] -> x0 prediction [B,T,144]."""
         deterministic = not train
+        out_dtype = x.dtype
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            if cond is not None:
+                cond = cond.astype(self.dtype)
         t_emb = self.embedTimeStep(timesteps)  # [B,1,E]
         body = x[..., : self.body_dim]
         obj = x[..., self.body_dim :]
@@ -167,7 +180,8 @@ class MDMSmpl(nn.Module):
         h = self.decoder(h, cond, deterministic=deterministic)
         body_pred = self.bodyFinalLinear(h)
         obj_pred = self.objFinalLinear(h)
-        return jnp.concatenate([body_pred, obj_pred], axis=-1)
+        return jnp.concatenate([body_pred, obj_pred],
+                               axis=-1).astype(out_dtype)
 
     def __call__(self, x, timesteps, cond=None, *, force_mask: bool = False,
                  train: bool = False):

@@ -109,6 +109,64 @@ def smpl_diffusion_losses(
     return loss, terms
 
 
+def smpl_val_losses(
+    body_pred: jax.Array, body_gt: jax.Array, obj_pred: jax.Array,
+    obj_gt: jax.Array, *, past_len: int,
+    weights: SmplLossWeights = SmplLossWeights(),
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Validation loss in rotation-MATRIX space (`calc_val_loss`,
+    `train_diffusion_smpl.py:185-260`): 16 scalar MSE terms over sampled
+    axis-angle predictions; velocity terms here use real gt deltas.
+
+    body_pred/gt [B, T, 3*nJ + 3] (axis-angle | trans), obj_pred/gt [B, T, 6].
+    """
+    from interdiff_tpu.geometry.rotations import axis_angle_to_matrix
+
+    w = weights
+    p = past_len
+    B, T = body_pred.shape[:2]
+
+    def rots(x, n):
+        return axis_angle_to_matrix(
+            x[..., : 3 * n].reshape(B, T, n, 3)).reshape(B, T, n * 9)
+
+    nJ = (body_pred.shape[-1] - 3) // 3
+    br, br_g = rots(body_pred, nJ), rots(body_gt, nJ)
+    orr, or_g = rots(obj_pred, 1), rots(obj_gt, 1)
+    bt, bt_g = body_pred[..., -3:], body_gt[..., -3:]
+    ot, ot_g = obj_pred[..., -3:], obj_gt[..., -3:]
+
+    def mse(a, b):
+        return jnp.mean((a - b) ** 2)
+
+    def vp(x, x_g):  # past velocity
+        return mse(x[:, 1 : p + 1] - x[:, :p], x_g[:, 1 : p + 1] - x_g[:, :p])
+
+    def vf(x, x_g):  # future velocity
+        return mse(x[:, p:] - x[:, p - 1 : -1], x_g[:, p:] - x_g[:, p - 1 : -1])
+
+    terms = {
+        "body_rot_past": mse(br[:, :p], br_g[:, :p]) * w.smplx_rot * w.past,
+        "body_nonrot_past": mse(bt[:, :p], bt_g[:, :p])
+        * w.smplx_nonrot * w.past,
+        "obj_rot_past": mse(orr[:, :p], or_g[:, :p]) * w.obj_rot * w.past,
+        "obj_nonrot_past": mse(ot[:, :p], ot_g[:, :p]) * w.obj_nonrot * w.past,
+        "body_rot_v_past": vp(br, br_g) * w.v * w.smplx_rot * w.past,
+        "body_nonrot_v_past": vp(bt, bt_g) * w.v * w.smplx_nonrot * w.past,
+        "obj_rot_v_past": vp(orr, or_g) * w.v * w.obj_rot * w.past,
+        "obj_nonrot_v_past": vp(ot, ot_g) * w.v * w.obj_nonrot * w.past,
+        "body_rot_future": mse(br[:, p:], br_g[:, p:]) * w.smplx_rot,
+        "body_nonrot_future": mse(bt[:, p:], bt_g[:, p:]) * w.smplx_nonrot,
+        "obj_rot_future": mse(orr[:, p:], or_g[:, p:]) * w.obj_rot,
+        "obj_nonrot_future": mse(ot[:, p:], ot_g[:, p:]) * w.obj_nonrot,
+        "body_rot_v_future": vf(br, br_g) * w.v * w.smplx_rot,
+        "body_nonrot_v_future": vf(bt, bt_g) * w.v * w.smplx_nonrot,
+        "obj_rot_v_future": vf(orr, or_g) * w.v * w.obj_rot,
+        "obj_nonrot_v_future": vf(ot, ot_g) * w.v * w.obj_nonrot,
+    }
+    return sum(terms.values()), terms
+
+
 @dataclass(frozen=True)
 class SkeletonLossWeights:
     """Defaults from `train_diffusion_skeleton.py:372-379`."""

@@ -68,6 +68,9 @@ class MetricsLogger:
     def log(self, step: int, metrics: Dict[str, Any], **extra) -> None:
         row = {"step": int(step), "t": round(time.time() - self._t0, 3)}
         for k, v in {**metrics, **extra}.items():
+            if isinstance(v, (str, bool)):
+                row[k] = v
+                continue
             v = np.asarray(v)
             row[k] = float(v) if v.ndim == 0 else v.tolist()
         self._f.write(json.dumps(row) + "\n")

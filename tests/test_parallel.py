@@ -1,0 +1,49 @@
+"""Mesh/sharding helper tests + diverse-sample tiling."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from interdiff_tpu.parallel import (
+    batch_sharding,
+    best_of_n_metrics,
+    make_mesh,
+    shard_batch,
+    tile_for_diverse_samples,
+)
+from interdiff_tpu.parallel.sample_parallel import split_diverse_samples
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+    mesh2 = make_mesh(data=4, model=2)
+    assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
+
+
+def test_shard_batch_places_arrays():
+    mesh = make_mesh()
+    batch = {"a": jnp.arange(16.0).reshape(16, 1),
+             "b": jnp.zeros((16, 3, 2))}
+    out = shard_batch(batch, mesh)
+    assert out["a"].sharding == batch_sharding(mesh)
+    np.testing.assert_allclose(np.asarray(out["a"]),
+                               np.asarray(batch["a"]))
+
+
+def test_diverse_sample_tiling_roundtrip(rng):
+    B, n = 3, 4
+    batch = {"x": jnp.asarray(rng.standard_normal((B, 5)).astype(np.float32))}
+    tiled = tile_for_diverse_samples(batch, n)
+    assert tiled["x"].shape == (n * B, 5)
+    back = split_diverse_samples(tiled["x"], n)
+    for i in range(n):
+        np.testing.assert_allclose(np.asarray(back[i]),
+                                   np.asarray(batch["x"]))
+
+
+def test_best_of_n_metrics_min():
+    n, B = 3, 2
+    vals = jnp.asarray([5.0, 1.0, 2.0, 9.0, 4.0, 0.5])  # [n*B]
+    out = best_of_n_metrics({"m": vals}, n)
+    np.testing.assert_allclose(np.asarray(out["m"]), [2.0, 0.5])

@@ -67,10 +67,12 @@ def _setup(rng, use_correction):
         projector_params = projector.init(
             jax.random.PRNGKey(1), gt[..., 135:],
             jnp.zeros((B, T, 40, 3)), jnp.zeros((B, 40)))
-    sampler = jax.jit(make_sampler(
-        cfg, model, diffusion, params, smpl=smpl, projector=projector,
+    import functools
+
+    sampler = functools.partial(jax.jit(make_sampler(
+        cfg, model, diffusion, smpl=smpl, projector=projector,
         projector_params=projector_params, use_correction=use_correction,
-        markers_idx=markers_idx))
+        markers_idx=markers_idx)), params)
     return cfg, smpl, sampler, gt, obj_points6, hand, betas
 
 

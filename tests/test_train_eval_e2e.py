@@ -60,6 +60,36 @@ def test_skeleton_train_step_runs_on_mesh(rng):
     assert int(state.step) == 3
 
 
+def test_skeleton_training_learns(rng):
+    """Optimization sanity: repeated steps on a fixed batch reduce the loss
+    substantially (the whole grad path — encoder, denoiser, losses — works)."""
+    model = MDMSkeleton(embed_dim=32, num_heads=4, ff_size=32, num_layers=4,
+                        past_len=3)
+    diffusion = _tiny_diffusion()
+    T = 6
+    batch_np = next(synthetic_skeleton_batches(
+        np.random.default_rng(0), batch_size=8, seq_len=T))
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    params = model.init(
+        jax.random.PRNGKey(0), batch["skeleton"][:2], batch["obj_points"][:2],
+        batch["poses"][:2], batch["zero_pose_obj"][:2],
+        jnp.zeros((2,), jnp.int32), method=MDMSkeleton.init_forward)
+    state = TrainState.create(params, adamw(1e-3))
+    mesh = make_mesh()
+    step = data_parallel_step(make_skeleton_train_step(model, diffusion),
+                              mesh)
+    batch = step.place_batch(batch)
+    losses = []
+    for i in range(40):
+        state, metrics = step(state, batch, jax.random.fold_in(
+            jax.random.PRNGKey(7), i))
+        losses.append(float(metrics["loss"]))
+    first = np.mean(losses[:5])
+    last = np.mean(losses[-5:])
+    assert last < 0.6 * first, (first, last)
+
+
 def test_smpl_train_step_runs_on_mesh(rng):
     model = MDMSmpl(embed_dim=32, num_heads=4, ff_size=32, num_layers=4,
                     past_len=3, future_len=4, use_pointnet2=False)
@@ -140,9 +170,9 @@ def test_sampling_loop_with_correction_jits(rng):
                       batch["poses"][..., :3], batch["skeleton"])
 
     sampler = jax.jit(make_skeleton_sampler(
-        cfg, model, diffusion, params, projector=proj,
+        cfg, model, diffusion, projector=proj,
         projector_params=pvars, use_correction=True))
-    x = sampler(jax.random.PRNGKey(3), batch["skeleton"],
+    x = sampler(params, jax.random.PRNGKey(3), batch["skeleton"],
                 batch["obj_points"], batch["poses"], batch["zero_pose_obj"])
     assert x.shape == (2, T, 106)
     assert np.isfinite(np.asarray(x)).all()
