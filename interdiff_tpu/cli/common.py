@@ -10,6 +10,7 @@ paths can be smoke-tested end-to-end on any machine.
 from __future__ import annotations
 
 import os
+import pathlib
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -83,3 +84,19 @@ def batch_iterator(dataset, collate_fn, *, batch_size: int,
         if len(idx) < batch_size and drop_last:
             break
         yield collate_fn([dataset[int(i)] for i in idx])
+
+
+def snapshot_sources(results_dir: str, modules: "list[str]") -> None:
+    """Copy the given source modules into the run dir — the reference's
+    `on_train_start` source snapshotting (`train_diffusion_smpl.py:46-52`)."""
+    import importlib
+    import shutil
+
+    dst = pathlib.Path(results_dir) / "src_snapshot"
+    dst.mkdir(parents=True, exist_ok=True)
+    for name in modules:
+        try:
+            mod = importlib.import_module(name)
+            shutil.copy(mod.__file__, dst / pathlib.Path(mod.__file__).name)
+        except Exception:
+            pass

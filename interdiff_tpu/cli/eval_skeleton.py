@@ -35,7 +35,11 @@ def main():
     parser.add_argument("--past_len", type=int, default=10)
     parser.add_argument("--future_len", type=int, default=10)
     parser.add_argument("--seed", type=int, default=233)
+    parser.add_argument("--respacing", default="",
+                        help="timestep respacing, e.g. '100' or 'ddim50'")
     parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--render_dir", default=None,
+                        help="write a gif of sample 0 per batch here")
     args = parser.parse_args()
     if not args.synthetic and not args.motion_path:
         parser.error("--motion_path is required unless --synthetic is set")
@@ -55,8 +59,11 @@ def main():
     T = args.past_len + args.future_len
     cfg = SkeletonEvalConfig(past_len=args.past_len,
                              future_len=args.future_len)
-    track = SkeletonTrackConfig(past_len=args.past_len,
-                                future_len=args.future_len)
+    from interdiff_tpu.config import DiffusionConfig
+
+    track = SkeletonTrackConfig(
+        past_len=args.past_len, future_len=args.future_len,
+        diffusion=DiffusionConfig(timestep_respacing=args.respacing))
     model = track.build_model()
     diffusion = track.diffusion.build()
 
@@ -126,6 +133,17 @@ def main():
         for k2, v in m.items():
             totals[k2] = totals.get(k2, 0.0) + float(v)
         print({k2: round(v / n, 5) for k2, v in totals.items()})
+        if args.render_dir:
+            from interdiff_tpu.viz.skeleton_viz import visualize_skeleton
+
+            os.makedirs(args.render_dir, exist_ok=True)
+            visualize_skeleton(
+                np.asarray(gt_parts["body"][0]),
+                np.asarray(gt_parts["obj"][0]),
+                os.path.join(args.render_dir, f"batch{n}_{args.mode}.gif"),
+                pred=np.asarray(pred["body"][0]),
+                obj_pred=np.asarray(pred["obj"][0]),
+                past_len=args.past_len)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,8 @@ def main():
     parser.add_argument("--past_len", type=int, default=10)
     parser.add_argument("--future_len", type=int, default=25)
     parser.add_argument("--seed", type=int, default=233)
+    parser.add_argument("--respacing", default="",
+                        help="timestep respacing, e.g. '100' or 'ddim50'")
     args = parser.parse_args()
     if not (args.motion_path and args.model_path):
         parser.error("--motion_path and --model_path are required")
@@ -58,8 +60,11 @@ def main():
 
     rng = seed_everything(args.seed)
     cfg = SmplEvalConfig(past_len=args.past_len, future_len=args.future_len)
-    track = SmplTrackConfig(past_len=args.past_len,
-                            future_len=args.future_len)
+    from interdiff_tpu.config import DiffusionConfig
+
+    track = SmplTrackConfig(
+        past_len=args.past_len, future_len=args.future_len,
+        diffusion=DiffusionConfig(timestep_respacing=args.respacing))
     model = track.build_model()
     diffusion = track.diffusion.build()
 

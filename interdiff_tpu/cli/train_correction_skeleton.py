@@ -63,6 +63,9 @@ def main():
         make_correction_skeleton_train_step(projector), mesh,
         extra_args=2)
 
+    from interdiff_tpu.cli.common import snapshot_sources
+
+    snapshot_sources(args.results_dir, ["interdiff_tpu.models.correction", "interdiff_tpu.train.losses_correction"])
     ckpt = CheckpointManager(os.path.join(args.results_dir, "ckpt"))
     logger = MetricsLogger(os.path.join(args.results_dir, "metrics.jsonl"))
     key = jax.random.PRNGKey(args.seed)

@@ -77,6 +77,9 @@ def main():
     mesh = make_mesh()
     step = data_parallel_step(make_skeleton_train_step(model, diffusion), mesh)
 
+    from interdiff_tpu.cli.common import snapshot_sources
+
+    snapshot_sources(args.results_dir, ["interdiff_tpu.models.mdm_skeleton", "interdiff_tpu.train.trainer", "interdiff_tpu.train.losses", "interdiff_tpu.diffusion.gaussian"])
     ckpt = CheckpointManager(os.path.join(args.results_dir, "ckpt"))
     logger = MetricsLogger(os.path.join(args.results_dir, "metrics.jsonl"))
 

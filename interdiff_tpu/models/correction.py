@@ -197,9 +197,11 @@ class ObjProjectorSkeleton(nn.Module):
     dropout: float = 0.0
 
     def setup(self):
+        seq_len = self.past_len + self.future_len
         self.core = ObjProjectorCore(
-            num_nodes=self.num_joints, n_pre=self.n_pre,
-            seq_len=self.past_len + self.future_len, past_len=self.past_len,
+            num_nodes=self.num_joints,
+            n_pre=min(self.n_pre, seq_len),  # can't keep more DCT coeffs
+            seq_len=seq_len, past_len=self.past_len,  # than frames exist
             fusion_channels=(9, 64, 32, 64, 9), dropout=self.dropout,
             name="core")
 
