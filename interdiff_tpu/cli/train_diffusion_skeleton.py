@@ -29,6 +29,8 @@ def main():
     parser.add_argument("--future_len", type=int, default=10)
     parser.add_argument("--ff_size", type=int, default=256)
     parser.add_argument("--seed", type=int, default=233)
+    parser.add_argument("--resume_checkpoint", default=None,
+                        help="orbax ckpt dir to resume params from")
     parser.add_argument("--synthetic", type=int, default=0,
                         help="run N synthetic steps (no data needed)")
     parser.add_argument("--val_every", type=int, default=10)
@@ -73,6 +75,14 @@ def main():
         jnp.asarray(ex["poses"]), jnp.asarray(ex["zero_pose_obj"]),
         jnp.zeros((2,), jnp.int32), method=MDMSkeleton.init_forward)
 
+    if args.resume_checkpoint:
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(os.path.abspath(args.resume_checkpoint))
+        params = mgr.restore(mgr.latest_step(),
+                             args=ocp.args.StandardRestore(params))
+        print(f"resumed params from {args.resume_checkpoint} "
+              f"@ step {mgr.latest_step()}")
     state = TrainState.create(params, adamw(args.lr))
     mesh = make_mesh()
     step = data_parallel_step(make_skeleton_train_step(model, diffusion), mesh)

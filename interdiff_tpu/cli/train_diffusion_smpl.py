@@ -28,6 +28,8 @@ def main():
     parser.add_argument("--future_len", type=int, default=25)
     parser.add_argument("--use_pointnet2", type=int, default=1)
     parser.add_argument("--seed", type=int, default=233)
+    parser.add_argument("--resume_checkpoint", default=None,
+                        help="orbax ckpt dir to resume params from")
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--val_every", type=int, default=50)
     args = parser.parse_args()
@@ -63,6 +65,14 @@ def main():
                         jnp.zeros((2,), jnp.int32),
                         method=MDMSmpl.init_forward)
 
+    if args.resume_checkpoint:
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(os.path.abspath(args.resume_checkpoint))
+        params = mgr.restore(mgr.latest_step(),
+                             args=ocp.args.StandardRestore(params))
+        print(f"resumed params from {args.resume_checkpoint} "
+              f"@ step {mgr.latest_step()}")
     state = TrainState.create(params, adamw(args.lr))
     mesh = make_mesh()
     step = data_parallel_step(make_smpl_train_step(model, diffusion), mesh)

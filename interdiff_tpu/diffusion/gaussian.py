@@ -168,6 +168,20 @@ class GaussianDiffusion:
                           timestep_map=timestep_map, original_num_steps=steps)
 
     # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+    @staticmethod
+    def masked_l2(a: jax.Array, b: jax.Array, mask: jax.Array) -> jax.Array:
+        """Mask-normalised squared error per sample
+        (`gaussian_diffusion.py:201-214`): a/b [B, J, Jdim, T], mask
+        [B, 1, 1, T]; -> sum((a-b)^2 * mask) / (sum(mask) * J * Jdim)."""
+        axes = tuple(range(1, a.ndim))
+        loss = jnp.sum((a - b) ** 2 * mask, axis=axes)
+        n_entries = a.shape[1] * a.shape[2]
+        non_zero = jnp.sum(mask, axis=axes) * n_entries
+        return loss / jnp.maximum(non_zero, 1.0)
+
+    # ------------------------------------------------------------------
     # timestep handling
     # ------------------------------------------------------------------
     def model_timesteps(self, t: jax.Array) -> jax.Array:

@@ -130,3 +130,16 @@ def test_mesh_viz_fallback_writes_gif(tmp_path, rng):
     out = visualize_body_obj(verts, faces, obj_verts, faces, past_len=1,
                              save_path=path)
     assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_masked_l2(rng):
+    from interdiff_tpu.diffusion.gaussian import GaussianDiffusion
+
+    B, J, D, T = 2, 3, 4, 5
+    a = jnp.asarray(rng.standard_normal((B, J, D, T)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((B, J, D, T)).astype(np.float32))
+    mask = jnp.zeros((B, 1, 1, T)).at[:, :, :, :3].set(1.0)
+    out = GaussianDiffusion.masked_l2(a, b, mask)
+    want = (np.sum((np.asarray(a - b)[:, :, :, :3]) ** 2, axis=(1, 2, 3))
+            / (3 * J * D))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5)
