@@ -30,7 +30,8 @@ def _nn_kernel(a_ref, b_ref, dist_ref, idx_ref):
     b2 = jnp.sum(b * b, axis=-1)  # [M]
     ab = jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [TA, M]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # [TA, M] exact f32
     scores = b2[None, :] - 2.0 * ab
     dist_ref[0] = jnp.min(scores, axis=-1)
     idx_ref[0] = jnp.argmin(scores, axis=-1).astype(jnp.int32)

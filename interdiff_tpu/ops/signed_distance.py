@@ -20,6 +20,9 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+# exact-f32 products: bf16-grade matmuls can flip nearest-neighbour argmins
+_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 
 def _chunked_nn(a: jax.Array, b: jax.Array, chunk: int) -> Tuple[jax.Array, jax.Array]:
     """Nearest neighbour of each a-point among b-points.
@@ -39,7 +42,7 @@ def _chunked_nn(a: jax.Array, b: jax.Array, chunk: int) -> Tuple[jax.Array, jax.
         best_d, best_i = carry
         k, bc = inp  # bc: [..., chunk, 3]
         b2 = jnp.sum(bc * bc, axis=-1)  # [..., chunk]
-        ab = jnp.einsum("...pd,...cd->...pc", a, bc)
+        ab = _einsum("...pd,...cd->...pc", a, bc)
         d = a2[..., :, None] + b2[..., None, :] - 2.0 * ab  # [..., P1, chunk]
         dmin = jnp.min(d, axis=-1)
         imin = jnp.argmin(d, axis=-1).astype(jnp.int32) + k * chunk
@@ -82,7 +85,7 @@ def nearest_neighbor(a: jax.Array, b: jax.Array, *,
     if chunk is None or chunk >= P2:
         d = (jnp.sum(a * a, axis=-1)[..., :, None]
              + jnp.sum(b * b, axis=-1)[..., None, :]
-             - 2.0 * jnp.einsum("...pd,...qd->...pq", a, b))
+             - 2.0 * _einsum("...pd,...qd->...pq", a, b))
         return (jnp.maximum(jnp.min(d, axis=-1), 0.0),
                 jnp.argmin(d, axis=-1).astype(jnp.int32))
     assert P2 % chunk == 0, f"P2={P2} not divisible by chunk={chunk}"

@@ -22,10 +22,17 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
+
+# Body geometry is parity-critical (<1e-3 MPJPE vs the torch reference):
+# force full-f32 matmuls regardless of the backend's default (TPU default
+# precision runs f32 einsums through bf16 MXU passes).
+_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 from interdiff_tpu.geometry.rotations import axis_angle_to_matrix
 
@@ -93,14 +100,14 @@ def smpl_forward(model: SmplModel, pose_axisang: jax.Array,
     rots = axis_angle_to_matrix(pose_axisang.reshape(B, J, 3))  # [B,J,3,3]
 
     # shape blendshapes (`smpl_layer.py:96-103`)
-    v_shaped = model.v_template + jnp.einsum(
+    v_shaped = model.v_template + _einsum(
         "vdk,bk->bvd", model.shapedirs, betas)
-    joints0 = jnp.einsum("jv,bvd->bjd", model.j_regressor, v_shaped)
+    joints0 = _einsum("jv,bvd->bjd", model.j_regressor, v_shaped)
 
     # pose blendshapes from (R - I) of the non-root joints (`:105-107`)
     eye = jnp.eye(3, dtype=rots.dtype)
     pose_map = (rots[:, 1:] - eye).reshape(B, -1)  # [B, 9*(J-1)]
-    naked = v_shaped + jnp.einsum("vdp,bp->bvd", model.posedirs, pose_map)
+    naked = v_shaped + _einsum("vdp,bp->bvd", model.posedirs, pose_map)
     v_posed = naked if offsets is None else naked + offsets
 
     # FK by depth level: R_g/t_g accumulate global rotation/translation.
@@ -115,22 +122,22 @@ def smpl_forward(model: SmplModel, pose_axisang: jax.Array,
         idx = np.asarray(level)
         par = np.asarray(model.parents)[idx]
         Rp, tp = R_g[:, par], t_g[:, par]
-        R_g = R_g.at[:, idx].set(jnp.einsum("bjxy,bjyz->bjxz", Rp, rots[:, idx]))
+        R_g = R_g.at[:, idx].set(_einsum("bjxy,bjyz->bjxz", Rp, rots[:, idx]))
         t_g = t_g.at[:, idx].set(
-            jnp.einsum("bjxy,bjy->bjx", Rp, rel_t[:, idx]) + tp)
+            _einsum("bjxy,bjy->bjx", Rp, rel_t[:, idx]) + tp)
 
     joints = t_g  # [B,J,3] global joint positions
 
     # rest-pose removal (`:135-144`): T'_j = [R_g | t_g - R_g @ j0]
-    t_skin = t_g - jnp.einsum("bjxy,bjy->bjx", R_g, joints0)
+    t_skin = t_g - _einsum("bjxy,bjy->bjx", R_g, joints0)
 
     # LBS on the MXU: weights [V,J] x per-joint affine [B,J,12]
     affine = jnp.concatenate(
         [R_g.reshape(B, J, 9), t_skin], axis=-1)  # [B,J,12]
-    blended = jnp.einsum("vj,bjc->bvc", model.weights, affine)
+    blended = _einsum("vj,bjc->bvc", model.weights, affine)
     R_v = blended[..., :9].reshape(B, -1, 3, 3)
     t_v = blended[..., 9:]
-    verts = jnp.einsum("bvxy,bvy->bvx", R_v, v_posed) + t_v
+    verts = _einsum("bvxy,bvy->bvx", R_v, v_posed) + t_v
 
     if scale != 1.0:
         verts = verts * scale
