@@ -36,6 +36,8 @@ def main():
     parser.add_argument("--seed", type=int, default=233)
     parser.add_argument("--respacing", default="",
                         help="timestep respacing, e.g. '100' or 'ddim50'")
+    parser.add_argument("--render_dir", default=None,
+                        help="write a gif of sample 0 per batch (seam-smoothed)")
     args = parser.parse_args()
     if not (args.motion_path and args.model_path):
         parser.error("--motion_path and --model_path are required")
@@ -141,6 +143,25 @@ def main():
         for k2, v in best.items():
             totals[k2] = totals.get(k2, 0.0) + float(v.mean())
         print(nb, {k2: round(v / nb, 5) for k2, v in totals.items()})
+        if args.render_dir:
+            # seam smoothing applied before visualization only, like the
+            # reference (`eval_smpl_short.py:296-297,305`)
+            from interdiff_tpu.eval.metrics import smooth_seam
+            from interdiff_tpu.viz.mesh_viz import visualize_body_obj
+
+            os.makedirs(args.render_dir, exist_ok=True)
+            verts_s = smooth_seam(out["verts"], cfg.future_len)
+            obj_s = smooth_seam(out["obj_pred"], cfg.future_len)
+            from interdiff_tpu.geometry.rotations import axis_angle_to_matrix
+
+            rot = np.asarray(axis_angle_to_matrix(obj_s[0, :, :3]))
+            tpl = np.asarray(batch["obj_points"][0, :, :3])
+            obj_verts = np.einsum("tij,pj->tpi", rot, tpl) \
+                + np.asarray(obj_s[0, :, None, 3:])
+            visualize_body_obj(
+                np.asarray(verts_s[0]), np.asarray(smpl.faces), obj_verts,
+                np.zeros((1, 3), np.int32), past_len=args.past_len,
+                save_path=os.path.join(args.render_dir, f"batch{nb}.gif"))
 
 
 if __name__ == "__main__":

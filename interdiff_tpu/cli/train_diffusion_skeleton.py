@@ -129,10 +129,14 @@ def main():
 
     i = 0
     for epoch in range(args.epochs if not args.synthetic else 1):
-        for batch in epoch_batches():
-            batch_np_last = batch
-            batch = step.place_batch(
-                {k: jnp.asarray(v) for k, v in batch.items()})
+        from interdiff_tpu.utils.prefetch import device_prefetch, threaded_batches
+
+        def _placed():
+            for b in threaded_batches(epoch_batches, num_workers=2):
+                yield b, step.place_batch(
+                    {k: jnp.asarray(v) for k, v in b.items()})
+
+        for batch_np_last, batch in _placed():
             key, k_step = jax.random.split(key)
             state, metrics = step(state, batch, k_step)
             if i % 10 == 0:

@@ -112,9 +112,13 @@ def main():
             "obj_points")
     i = 0
     for epoch in range(args.epochs if not args.synthetic else 1):
-        for batch in epoch_batches():
-            batch = step.place_batch(
-                {k: jnp.asarray(batch[k]) for k in keep})
+        from interdiff_tpu.utils.prefetch import threaded_batches
+
+        def _placed():
+            for b in threaded_batches(epoch_batches, num_workers=2):
+                yield step.place_batch({k: jnp.asarray(b[k]) for k in keep})
+
+        for batch in _placed():
             key, k_step = jax.random.split(key)
             state, metrics = step(state, batch, k_step)
             if i % 10 == 0:

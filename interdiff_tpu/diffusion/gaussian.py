@@ -330,7 +330,8 @@ class GaussianDiffusion:
     def p_sample_loop(self, model_fn, key, shape=None, *, noise=None,
                       clip_denoised=False, denoised_fn=None, cond_fn=None,
                       inpaint: Optional[Inpaint] = None, const_noise=False,
-                      skip_timesteps: int = 0, init_image=None):
+                      skip_timesteps: int = 0, init_image=None,
+                      unroll: int = 1):
         """Full reverse process as a single ``lax.scan`` (ref `:598-736`).
 
         Semantics note kept from the reference: when ``noise`` is supplied the
@@ -364,7 +365,7 @@ class GaussianDiffusion:
                                 inpaint=inpaint, const_noise=const_noise)
             return (out["sample"], k), None
 
-        (img, _), _ = jax.lax.scan(step, (img, key), indices)
+        (img, _), _ = jax.lax.scan(step, (img, key), indices, unroll=unroll)
         return img
 
     # -- DDIM -----------------------------------------------------------------

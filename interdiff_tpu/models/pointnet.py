@@ -18,6 +18,7 @@ from flax import linen as nn
 from interdiff_tpu.ops.pointcloud import (
     furthest_point_sample,
     gather_points,
+    hierarchical_fps,
     query_and_group,
 )
 
@@ -47,13 +48,18 @@ class SAModuleMSG(nn.Module):
     nsamples: Sequence[int]
     mlps: Sequence[Sequence[int]]  # per-scale hidden channels (post-input)
     use_xyz: bool = True
+    fps_groups: int = 1  # >1: grouped parallel FPS (see hierarchical_fps)
 
     @nn.compact
     def __call__(self, xyz: jax.Array, features: Optional[jax.Array], *,
                  train: bool = False) -> Tuple[jax.Array, jax.Array]:
         """xyz [B, N, 3], features [B, N, C] | None ->
         (new_xyz [B, npoint, 3], new_features [B, npoint, sum(mlp[-1])])."""
-        idx = furthest_point_sample(xyz, self.npoint)
+        g = self.fps_groups
+        if g > 1 and xyz.shape[1] % g == 0 and self.npoint % g == 0:
+            idx = hierarchical_fps(xyz, self.npoint, g)
+        else:
+            idx = furthest_point_sample(xyz, self.npoint)
         new_xyz = gather_points(xyz, idx)
         outs = []
         for s, (radius, nsample, mlp) in enumerate(
@@ -76,6 +82,9 @@ class PointNet2Encoder(nn.Module):
     c_in: int = 1
     c_out: int = 256
     num_keypoints: int = 1
+    # grouped-parallel FPS in stage 1 (16 groups: sequential depth 64 vs
+    # 1024 — measured ~100 ms -> ~7 ms on v5e; see ops/pointcloud.py)
+    fps_groups: int = 16
 
     @nn.compact
     def __call__(self, pointcloud: jax.Array, *, train: bool = False) -> jax.Array:
@@ -86,8 +95,8 @@ class PointNet2Encoder(nn.Module):
 
         xyz, features = SAModuleMSG(
             npoint=1024, radii=(0.05, 0.1), nsamples=(16, 32),
-            mlps=((16, 16, 32), (32, 32, 64)), name="sa0")(
-                xyz, features, train=train)
+            mlps=((16, 16, 32), (32, 32, 64)), fps_groups=self.fps_groups,
+            name="sa0")(xyz, features, train=train)
         xyz, features = SAModuleMSG(
             npoint=self.num_keypoints, radii=(0.1, 0.2), nsamples=(16, 32),
             mlps=((64, 64, 128), (64, 96, 128)), name="sa1")(

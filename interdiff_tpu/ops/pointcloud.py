@@ -59,8 +59,45 @@ def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
 
     init = (jnp.full((B, N), jnp.inf, dtype=xyz.dtype),
             jnp.zeros((B,), dtype=jnp.int32))
-    (_, _), idx = jax.lax.scan(body, init, None, length=npoint)
+    # unroll: the body is tiny ([B,N] elementwise + argmax) and inherently
+    # serial — per-iteration scan overhead dominates on TPU, so unrolling
+    # several iterations per scan step is a large latency win
+    (_, _), idx = jax.lax.scan(body, init, None, length=npoint, unroll=8)
     return idx.T  # [B, npoint]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def hierarchical_fps(xyz: jax.Array, npoint: int, groups: int) -> jax.Array:
+    """Grouped FPS — the TPU-first refactor of the inherently serial
+    furthest-point-sampling chain.
+
+    Exact FPS needs ``npoint`` *dependent* argmax rounds (the reference CUDA
+    kernel hides this in a fused kernel; on TPU the 1024-step chain costs
+    ~100 ms and dominates the whole 100-step sampler — measured in
+    perf_probe).  Here the cloud is split into ``groups`` strided partitions
+    (surface-sample order is unstructured, so striding is a uniform random
+    split) and exact FPS runs *inside each partition in parallel*:
+    sequential depth drops groups-fold while the selected set keeps
+    FPS-grade spatial coverage.  No pretrained weights depend on the exact
+    CUDA selection (the reference diffusion checkpoints were never shipped),
+    so this is the default for our models; ``furthest_point_sample`` remains
+    for exact-semantics use.
+
+    xyz: [B, N, 3] with N % groups == 0 and npoint % groups == 0.
+    Returns int32 indices [B, npoint] (into the original N ordering).
+    """
+    B, N, _ = xyz.shape
+    assert N % groups == 0 and npoint % groups == 0
+    per = N // groups
+    k = npoint // groups
+    # strided partition: group g takes points [g::groups]
+    grouped = xyz.reshape(B, per, groups, 3).transpose(0, 2, 1, 3)
+    flat = grouped.reshape(B * groups, per, 3)
+    sub_idx = furthest_point_sample(flat, k)  # [B*G, k] indices into group
+    sub_idx = sub_idx.reshape(B, groups, k)
+    # map back: element j of group g sits at original index j*groups + g
+    orig = sub_idx * groups + jnp.arange(groups, dtype=jnp.int32)[None, :, None]
+    return orig.reshape(B, npoint)
 
 
 def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:

@@ -93,3 +93,25 @@ def test_pointnet2_encoder_shapes(rng):
     # jit-compiles cleanly
     fn = jax.jit(lambda p: enc.apply(variables, p))
     np.testing.assert_allclose(np.asarray(fn(pc)), np.asarray(out), atol=1e-5)
+
+
+def test_hierarchical_fps_coverage(rng):
+    from interdiff_tpu.ops.pointcloud import hierarchical_fps
+
+    B, N, npoint, G = 2, 256, 64, 8
+    xyz = rng.standard_normal((B, N, 3)).astype(np.float32)
+    idx = np.asarray(hierarchical_fps(jnp.asarray(xyz), npoint, G))
+    assert idx.shape == (B, npoint)
+    for b in range(B):
+        # indices valid and unique
+        assert len(np.unique(idx[b])) == npoint
+        assert idx[b].min() >= 0 and idx[b].max() < N
+        # coverage: max distance from any point to the selected set is
+        # close to exact-FPS quality (within 2x)
+        exact = np.asarray(furthest_point_sample(jnp.asarray(xyz[b:b+1]),
+                                                 npoint))[0]
+        d_hier = np.linalg.norm(
+            xyz[b][:, None] - xyz[b][idx[b]][None], axis=-1).min(1).max()
+        d_exact = np.linalg.norm(
+            xyz[b][:, None] - xyz[b][exact][None], axis=-1).min(1).max()
+        assert d_hier <= 2.0 * d_exact + 1e-6, (d_hier, d_exact)
