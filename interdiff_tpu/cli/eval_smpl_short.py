@@ -36,6 +36,8 @@ def main():
     parser.add_argument("--seed", type=int, default=233)
     parser.add_argument("--respacing", default="",
                         help="timestep respacing, e.g. '100' or 'ddim50'")
+    parser.add_argument("--sampler", default="ddpm",
+                        choices=["ddpm", "ddim", "plms"])
     parser.add_argument("--render_dir", default=None,
                         help="write a gif of sample 0 per batch (seam-smoothed)")
     args = parser.parse_args()
@@ -98,10 +100,15 @@ def main():
                                      future_len=args.future_len)
         projector_params, _ = load_correction_smpl(args.correction_ckpt)
 
+    # memory reuse: the conditioning encoder is deterministic, so compute
+    # it once per batch and share it across the diverse samples
     sample = jax.jit(make_sampler(
         cfg, model, diffusion, smpl=smpl, projector=projector,
         projector_params=projector_params,
-        use_correction=args.mode == "correction"))
+        use_correction=args.mode == "correction",
+        reuse_memory=True, sampler=args.sampler))
+    encode = jax.jit(lambda p, g, pts: model.apply(p, g, pts,
+                                                   method=MDMSmpl.encode))
 
     seqs = load_behave_sequences(args.motion_path, smpl_models=smpl_models,
                                  mode="test")
@@ -125,10 +132,11 @@ def main():
             if "body_betas" in batch else jnp.zeros(gt.shape[:2] + (10,))
 
         gt_post = postprocess_sample(cfg, smpl, gt, hand, betas)
+        memory = encode(params, gt, obj_points6)
         best = None
         for j in range(args.diverse_samples):
             key, k = jax.random.split(key)
-            x = sample(params, k, gt, obj_points6, hand, betas)
+            x = sample(params, k, gt, obj_points6, hand, betas, memory)
             out = postprocess_sample(cfg, smpl, x, hand, betas)
             m = smpl_metrics(
                 out["obj_pred"][:, p:], out["jtr"][:, p:],

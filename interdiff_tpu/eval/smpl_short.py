@@ -149,15 +149,25 @@ def make_sampler(
     projector_params: Any = None,
     use_correction: bool = False,
     markers_idx: Optional[np.ndarray] = None,
+    reuse_memory: bool = False,
+    sampler: str = "ddpm",
 ) -> Callable:
     """Build ``sample(params, key, gt, obj_points6, hand_pose, betas) ->
     x [B,T,144]`` — `sample_once` / `sample_once_proj`
     (`eval_smpl_short.py:133-215`).  jit the result; it compiles to a single
-    scan, and params-per-call lets validation reuse one compilation."""
+    scan, and params-per-call lets validation reuse one compilation.
 
-    def sample(params, key, gt, obj_points6, hand_pose, betas):
-        memory = model.apply(params, gt, obj_points6, method=MDMSmpl.encode)
+    ``reuse_memory=True`` changes the signature to
+    ``sample(params, key, gt, obj_points6, hand_pose, betas, memory)`` —
+    the conditioning encoder is deterministic, so best-of-N evaluation
+    computes the memory ONCE (via ``model.apply(..., method=encode)``) and
+    amortises the point-cloud encoder across the N diverse samples (it
+    dominates the single-sample latency; see perf notes in README).
 
+    ``sampler``: 'ddpm' (ancestral, the reference default), 'ddim', 'plms'.
+    """
+
+    def _run(params, key, gt, obj_points6, hand_pose, betas, memory):
         def model_fn(x, ts):
             return model.apply(params, x, ts, memory)
 
@@ -171,9 +181,23 @@ def make_sampler(
 
         key, k_noise = jax.random.split(key)
         noise = jax.random.normal(k_noise, gt.shape, gt.dtype)
-        return diffusion.p_sample_loop(
-            model_fn, key, noise=noise, inpaint=Inpaint(mask, gt),
-            denoised_fn=denoised_fn)
+        kwargs = dict(noise=noise, inpaint=Inpaint(mask, gt),
+                      denoised_fn=denoised_fn)
+        if sampler == "ddim":
+            return diffusion.ddim_sample_loop(model_fn, key, **kwargs)
+        if sampler == "plms":
+            del kwargs["denoised_fn"]  # PLMS applies it inside p_mean_variance
+            return diffusion.plms_sample_loop(model_fn, key,
+                                              denoised_fn=denoised_fn,
+                                              **kwargs)
+        return diffusion.p_sample_loop(model_fn, key, **kwargs)
+
+    if reuse_memory:
+        return _run
+
+    def sample(params, key, gt, obj_points6, hand_pose, betas):
+        memory = model.apply(params, gt, obj_points6, method=MDMSmpl.encode)
+        return _run(params, key, gt, obj_points6, hand_pose, betas, memory)
 
     return sample
 

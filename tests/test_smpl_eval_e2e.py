@@ -124,3 +124,42 @@ def test_rollout_extends_trajectory(rng):
                    betas, num_chunks=2, cfg=cfg)
     assert full.shape == (2, 7 + 2 * cfg.future_len, 144)
     assert np.isfinite(np.asarray(full)).all()
+
+
+def test_sampler_variants_and_memory_reuse(rng):
+    """reuse_memory gives identical results to the fused path; ddim/plms
+    variants run finite."""
+    import functools
+
+    from interdiff_tpu.models.mdm_smpl import MDMSmpl as _M
+
+    cfg = SmplEvalConfig(past_len=3, future_len=4, nn_chunk=None)
+    model = MDMSmpl(embed_dim=32, num_heads=4, ff_size=32, num_layers=4,
+                    past_len=3, future_len=4, use_pointnet2=False)
+    diffusion = GaussianDiffusion.create_named(steps=STEPS)
+    smpl = _tiny_smpl(rng)
+    B, T, P = 2, 7, 16
+    gt = jnp.asarray(rng.standard_normal((B, T, 144)).astype(np.float32))
+    pts = jnp.asarray(rng.standard_normal((B, P, 6)).astype(np.float32))
+    hand = jnp.zeros((B, T, 90))
+    betas = jnp.zeros((B, T, 10))
+    params = model.init(jax.random.PRNGKey(0), gt, pts,
+                        jnp.zeros((B,), jnp.int32), method=_M.init_forward)
+
+    fused = make_sampler(cfg, model, diffusion, smpl=smpl)
+    split = make_sampler(cfg, model, diffusion, smpl=smpl, reuse_memory=True)
+    memory = model.apply(params, gt, pts, method=_M.encode)
+    key = jax.random.PRNGKey(9)
+    x_fused = fused(params, key, gt, pts, hand, betas)
+    x_split = split(params, key, gt, pts, hand, betas, memory)
+    np.testing.assert_allclose(np.asarray(x_fused), np.asarray(x_split),
+                               atol=1e-5)
+
+    for name in ("ddim", "plms"):
+        s = make_sampler(cfg, model, diffusion, smpl=smpl, sampler=name)
+        x = s(params, jax.random.PRNGKey(3), gt, pts, hand, betas)
+        assert np.isfinite(np.asarray(x)).all(), name
+        # inpainted past preserved by all samplers
+        np.testing.assert_allclose(np.asarray(x[:, :3]),
+                                   np.asarray(gt[:, :3]), atol=1e-4,
+                                   err_msg=name)
