@@ -40,6 +40,10 @@ def main():
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--render_dir", default=None,
                         help="write a gif of sample 0 per batch here")
+    parser.add_argument("--rollouts", type=int, default=0,
+                        help="autoregressive future windows after the first "
+                             "(the reference's get_batch re-batching, "
+                             "eval_skeleton.py:71-80)")
     args = parser.parse_args()
     if not args.synthetic and not args.motion_path:
         parser.error("--motion_path is required unless --synthetic is set")
@@ -126,6 +130,23 @@ def main():
         x = sample(params, k, gt_parts["body"], gt_parts["obj"],
                    gt_parts["pose"], jnp.asarray(batch["zero_pose_obj"]))
         pred = split_skeleton_state(x, cfg)
+        if args.rollouts:
+            from interdiff_tpu.eval.skeleton import rollout_batch
+
+            full = {k: np.asarray(v) for k, v in pred.items()}
+            xk = x
+            for _ in range(args.rollouts):
+                nb = rollout_batch(xk, jnp.asarray(batch["zero_pose_obj"]),
+                                   cfg)
+                key, kk = jax.random.split(key)
+                xk = sample(params, kk, nb["skeleton"], nb["obj_points"],
+                            nb["poses"], nb["zero_pose_obj"])
+                pk = split_skeleton_state(xk, cfg)
+                for k2 in full:
+                    full[k2] = np.concatenate(
+                        [full[k2], np.asarray(pk[k2][:, cfg.past_len:])],
+                        axis=1)
+            print(f"rollout: {full['body'].shape[1]} frames total")
         m = skeleton_metrics(pred["body"], gt_parts["body"], pred["obj"],
                              gt_parts["obj"], pred["pose"], gt_parts["pose"],
                              start=args.past_len)

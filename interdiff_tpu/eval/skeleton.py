@@ -61,16 +61,22 @@ def make_skeleton_sampler(
     projector: Optional[ObjProjectorSkeleton] = None,
     projector_params: Any = None,
     use_correction: bool = False,
+    reuse_memory: bool = False,
+    sampler: str = "ddpm",
 ) -> Callable:
     """Build ``sample(params, key, skeleton, obj_points, poses,
     zero_pose_obj) -> x [B,T,106]`` (`eval_skeleton.py:115-145`).  jit the
     result; passing params per call lets one compiled sampler serve
-    validation across training steps."""
+    validation across training steps.
+
+    ``reuse_memory=True`` appends a ``memory`` argument (from
+    ``model.apply(..., method=encode)[0]``) so best-of-N evaluation encodes
+    once.  ``sampler``: 'ddpm' | 'ddim' | 'plms'.
+    """
     bd, od = cfg.num_joints * 3, cfg.num_points * 3
 
-    def sample(params, key, skeleton, obj_points, poses, zero_pose_obj):
-        memory, gt = model.apply(params, skeleton, obj_points, poses,
-                                 zero_pose_obj, method=MDMSkeleton.encode)
+    def _run(params, key, skeleton, obj_points, poses, zero_pose_obj,
+             memory, gt):
 
         def model_fn(x, ts):
             return model.apply(params, x, ts, zero_pose_obj, memory)
@@ -106,9 +112,27 @@ def make_skeleton_sampler(
         mask = jnp.zeros_like(gt, dtype=bool).at[:, : cfg.past_len].set(True)
         key, k_noise = jax.random.split(key)
         noise = jax.random.normal(k_noise, gt.shape, gt.dtype)
-        return diffusion.p_sample_loop(
-            model_fn, key, noise=noise, inpaint=Inpaint(mask, gt),
-            denoised_fn=denoised_fn)
+        kwargs = dict(noise=noise, inpaint=Inpaint(mask, gt),
+                      denoised_fn=denoised_fn)
+        if sampler == "ddim":
+            return diffusion.ddim_sample_loop(model_fn, key, **kwargs)
+        if sampler == "plms":
+            return diffusion.plms_sample_loop(model_fn, key, **kwargs)
+        return diffusion.p_sample_loop(model_fn, key, **kwargs)
+
+    if reuse_memory:
+        def sample_mem(params, key, skeleton, obj_points, poses,
+                       zero_pose_obj, memory, gt):
+            return _run(params, key, skeleton, obj_points, poses,
+                        zero_pose_obj, memory, gt)
+
+        return sample_mem
+
+    def sample(params, key, skeleton, obj_points, poses, zero_pose_obj):
+        memory, gt = model.apply(params, skeleton, obj_points, poses,
+                                 zero_pose_obj, method=MDMSkeleton.encode)
+        return _run(params, key, skeleton, obj_points, poses, zero_pose_obj,
+                    memory, gt)
 
     return sample
 
