@@ -12,11 +12,45 @@ Design notes (TPU-first, not a port):
     by ``lax.cond`` so the full 1000- (or respaced 100-) step process stays
     on-device.
   * Models are ``flax.linen`` modules; parameters are pytrees; training steps
-    are ``jit``/``pjit`` functions sharded over a ``jax.sharding.Mesh``
-    (data-parallel batch axis + optional tensor-parallel FFN axis).
-  * Hot geometry kernels (brute-force signed-distance nearest neighbour,
-    banded local attention) have Pallas TPU implementations with pure-XLA
-    reference fallbacks used on CPU and in tests.
+    are ``jit``/``pjit`` functions sharded over a ``jax.sharding.Mesh``.
+  * Hot geometry kernels (brute-force signed-distance nearest neighbour) have
+    Pallas TPU implementations with pure-XLA fallbacks used on CPU; the
+    offline contact-label tool has a native C++ BVH engine.
+
+Public API (lazy imports — submodules pull jax/flax only when touched):
+
+    from interdiff_tpu import GaussianDiffusion, MDMSmpl, MDMSkeleton, ...
 """
 
+from __future__ import annotations
+
+import importlib
+
 __version__ = "0.1.0"
+
+_EXPORTS = {
+    "GaussianDiffusion": "interdiff_tpu.diffusion.gaussian",
+    "Inpaint": "interdiff_tpu.diffusion.gaussian",
+    "MDMSmpl": "interdiff_tpu.models.mdm_smpl",
+    "MDMSkeleton": "interdiff_tpu.models.mdm_skeleton",
+    "ObjProjectorSmpl": "interdiff_tpu.models.correction",
+    "ObjProjectorSkeleton": "interdiff_tpu.models.correction",
+    "SmplModel": "interdiff_tpu.smpl.model",
+    "smpl_forward": "interdiff_tpu.smpl.model",
+    "point2point_signed": "interdiff_tpu.ops.signed_distance",
+    "vertex_normals": "interdiff_tpu.geometry.normals",
+    "SmplTrackConfig": "interdiff_tpu.config",
+    "SkeletonTrackConfig": "interdiff_tpu.config",
+    "DiffusionConfig": "interdiff_tpu.config",
+}
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        module = importlib.import_module(_EXPORTS[name])
+        return getattr(module, name)
+    raise AttributeError(f"module 'interdiff_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_EXPORTS))

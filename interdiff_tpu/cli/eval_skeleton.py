@@ -44,7 +44,14 @@ def main():
                         help="autoregressive future windows after the first "
                              "(the reference's get_batch re-batching, "
                              "eval_skeleton.py:71-80)")
+    parser.add_argument("--config", default=None,
+                        help="YAML path config (BEHAVE.yml/HOI.yml style)")
     args = parser.parse_args()
+    if args.config:
+        from interdiff_tpu.data.paths import load_paths
+
+        _paths = load_paths(args.config)
+        args.motion_path = args.motion_path or _paths.motion_path
     if not args.synthetic and not args.motion_path:
         parser.error("--motion_path is required unless --synthetic is set")
 

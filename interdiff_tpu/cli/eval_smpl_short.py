@@ -40,7 +40,15 @@ def main():
                         choices=["ddpm", "ddim", "plms"])
     parser.add_argument("--render_dir", default=None,
                         help="write a gif of sample 0 per batch (seam-smoothed)")
+    parser.add_argument("--config", default=None,
+                        help="YAML path config (BEHAVE.yml/HOI.yml style)")
     args = parser.parse_args()
+    if args.config:
+        from interdiff_tpu.data.paths import load_paths
+
+        _paths = load_paths(args.config)
+        args.motion_path = args.motion_path or _paths.motion_path
+        args.model_path = args.model_path or _paths.model_path
     if not (args.motion_path and args.model_path):
         parser.error("--motion_path and --model_path are required")
 

@@ -18,13 +18,23 @@ import numpy as np
 
 def main():
     parser = ArgumentParser()
-    parser.add_argument("--motion_path", required=True)
-    parser.add_argument("--model_path", required=True)
+    parser.add_argument("--motion_path", default=None)
+    parser.add_argument("--model_path", default=None)
     parser.add_argument("--past_len", type=int, default=10)
     parser.add_argument("--future_len", type=int, default=10)
     parser.add_argument("--limit", type=int, default=0)
     parser.add_argument("--out_dir", default="./results/optimization")
+    parser.add_argument("--config", default=None,
+                        help="YAML path config (BEHAVE.yml/HOI.yml style)")
     args = parser.parse_args()
+    if args.config:
+        from interdiff_tpu.data.paths import load_paths
+
+        _paths = load_paths(args.config)
+        args.motion_path = args.motion_path or _paths.motion_path
+        args.model_path = args.model_path or _paths.model_path
+    if not (args.motion_path and args.model_path):
+        parser.error("--motion_path and --model_path (or --config) required")
 
     from interdiff_tpu.data.behave import BehaveDataset, load_behave_sequences
     from interdiff_tpu.eval.optimization import OptimConfig, optimize_clip

@@ -31,7 +31,15 @@ def main():
     parser.add_argument("--future_len", type=int, default=25)
     parser.add_argument("--seed", type=int, default=233)
     parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--config", default=None,
+                        help="YAML path config (BEHAVE.yml/HOI.yml style)")
     args = parser.parse_args()
+    if args.config:
+        from interdiff_tpu.data.paths import load_paths
+
+        _paths = load_paths(args.config)
+        args.motion_path = args.motion_path or _paths.motion_path
+        args.model_path = args.model_path or _paths.model_path
     if not args.synthetic and not (args.motion_path and args.model_path):
         parser.error("--motion_path and --model_path are required unless --synthetic is set")
 

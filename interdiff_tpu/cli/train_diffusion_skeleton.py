@@ -34,7 +34,14 @@ def main():
     parser.add_argument("--synthetic", type=int, default=0,
                         help="run N synthetic steps (no data needed)")
     parser.add_argument("--val_every", type=int, default=10)
+    parser.add_argument("--config", default=None,
+                        help="YAML path config (BEHAVE.yml/HOI.yml style)")
     args = parser.parse_args()
+    if args.config:
+        from interdiff_tpu.data.paths import load_paths
+
+        _paths = load_paths(args.config)
+        args.motion_path = args.motion_path or _paths.motion_path
     if not args.synthetic and not args.motion_path:
         parser.error("--motion_path is required unless --synthetic is set")
 

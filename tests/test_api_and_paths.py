@@ -1,0 +1,32 @@
+"""Top-level API exports + YAML path-config tests."""
+
+import numpy as np
+
+
+def test_top_level_exports():
+    import interdiff_tpu
+
+    assert interdiff_tpu.GaussianDiffusion is not None
+    assert interdiff_tpu.MDMSmpl is not None
+    assert interdiff_tpu.ObjProjectorSkeleton is not None
+    assert "SmplModel" in dir(interdiff_tpu)
+
+
+def test_load_paths(tmp_path):
+    from interdiff_tpu.data.paths import load_paths
+
+    cfg = tmp_path / "BEHAVE.yml"
+    cfg.write_text(
+        "MOTION_PATH: /data/behave/sequences\n"
+        "OBJECT_TEMPLATE: /data/behave/objects\n"
+        "SPLIT_PATH: /data/behave/split.json\n"
+        "MODEL_PATH:\n")  # empty, like the shipped BEHAVE.yml
+    p = load_paths(cfg)
+    assert p.motion_path == "/data/behave/sequences"
+    assert p.object_path == "/data/behave/objects"
+    assert p.model_path is None
+
+    cfg2 = tmp_path / "HOI.yml"
+    cfg2.write_text("MOTION_PATH: /data/hoi/motion\n")
+    p2 = load_paths(cfg2)
+    assert p2.motion_path == "/data/hoi/motion"
