@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import pathlib
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

@@ -60,7 +60,6 @@ def main():
     from interdiff_tpu.eval.smpl_short import (
         SmplEvalConfig,
         make_sampler,
-        pad_idx,
         postprocess_sample,
     )
     from interdiff_tpu.models.correction import ObjProjectorSmpl

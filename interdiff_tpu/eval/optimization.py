@@ -14,7 +14,7 @@ tracker — is ONE jitted `lax.fori_loop` via `jax.value_and_grad` + optax.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

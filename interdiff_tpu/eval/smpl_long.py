@@ -22,7 +22,7 @@ to the jitted short-term sampler.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ forward is jit/scan-safe; classifier-free masking threads a PRNG key.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ Semantics pinned to the pointnet2_ops kernels:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

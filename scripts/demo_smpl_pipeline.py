@@ -1,0 +1,181 @@
+"""Flagship-pipeline demonstration on real hardware: the SMPL-track MDM
+trains on structured synthetic BEHAVE-shaped motion, then the SIGNATURE
+InterDiff inference path runs — 100-step reverse diffusion with the
+physics-informed correction (using the REAL reference `correction.ckpt`
+weights) compiled into the sampling scan, SMPL FK + signed distances and
+all — and reports best-of-N metrics.
+
+Run: python scripts/demo_smpl_pipeline.py [--steps 600]
+Writes results/demo_smpl/metrics.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def synthetic_smpl_model(rng):
+    """SMPL-H-shaped synthetic body (V=6890, J=52) — the real pkls are not
+    in this image; shapes and tree depth match the real model."""
+    from interdiff_tpu.smpl.model import SmplModel
+
+    V, J = 6890, 52
+    parents = np.zeros(J, dtype=np.int64)
+    for j in range(1, J):
+        parents[j] = (j - 1) // 2
+    w = np.abs(rng.random((V, J))) ** 4
+    w /= w.sum(1, keepdims=True)
+    faces = rng.integers(0, V, (13776, 3)).astype(np.int32)
+    return SmplModel.create(
+        v_template=rng.standard_normal((V, 3)) * 0.25,
+        shapedirs=rng.standard_normal((V, 3, 10)) * 0.01,
+        posedirs=rng.standard_normal((V, 3, 9 * (J - 1))) * 0.001,
+        j_regressor=np.abs(rng.random((J, V)))
+        / np.abs(rng.random((J, V))).sum(1, keepdims=True),
+        weights=w, parents=parents, faces=faces)
+
+
+def make_batch(rng, B, T=35, P=2048):
+    """Structured clips: drifting body pose/trans; object rides the body."""
+    pose = np.zeros((B, T, 156), np.float32)
+    pose[..., :66] = (rng.standard_normal((B, 1, 66)) * 0.2
+                      + rng.standard_normal((B, 1, 66)) * 0.01
+                      * np.arange(T)[None, :, None]).astype(np.float32)
+    vel = rng.standard_normal((B, 1, 3)).astype(np.float32) * 0.03
+    trans = vel * np.arange(T, dtype=np.float32)[None, :, None]
+    obj_angles = (rng.standard_normal((B, 1, 3)) * 0.3
+                  ).astype(np.float32).repeat(T, 1)
+    obj_trans = trans + rng.standard_normal((B, 1, 3)).astype(np.float32) * 0.3
+    pts = rng.standard_normal((B, P, 6)).astype(np.float32) * 0.2
+    return {
+        "body_pose": jnp.asarray(pose),
+        "body_trans": jnp.asarray(trans),
+        "obj_angles": jnp.asarray(obj_angles),
+        "obj_trans": jnp.asarray(obj_trans),
+        "obj_points": jnp.asarray(pts),
+        "betas": jnp.zeros((B, T, 10)),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--diverse", type=int, default=4)
+    ap.add_argument("--out", default="results/demo_smpl")
+    args = ap.parse_args()
+
+    from interdiff_tpu.config import DiffusionConfig, SmplTrackConfig
+    from interdiff_tpu.eval.metrics import smpl_metrics
+    from interdiff_tpu.eval.smpl_short import (
+        SmplEvalConfig,
+        make_sampler,
+        postprocess_sample,
+    )
+    from interdiff_tpu.models.correction import ObjProjectorSmpl
+    from interdiff_tpu.models.mdm_smpl import MDMSmpl, smpl_gt_from_raw
+    from interdiff_tpu.train.trainer import (
+        TrainState,
+        adamw,
+        make_smpl_train_step,
+    )
+    from interdiff_tpu.utils.checkpoint import load_correction_smpl
+
+    os.makedirs(args.out, exist_ok=True)
+    track = SmplTrackConfig(
+        diffusion=DiffusionConfig(timestep_respacing="100"))
+    model = track.build_model()
+    diffusion = track.diffusion.build()
+    cfg = SmplEvalConfig(correction_t_max=50, correction_every=5)
+
+    rng = np.random.default_rng(233)
+    smpl = synthetic_smpl_model(rng)
+    projector = ObjProjectorSmpl()
+    projector_params, _ = load_correction_smpl()
+
+    ex = make_batch(rng, 2)
+    gt0 = smpl_gt_from_raw(ex["body_pose"][..., :66], ex["body_trans"],
+                           ex["obj_angles"], ex["obj_trans"])
+    params = model.init(jax.random.PRNGKey(0), gt0, ex["obj_points"],
+                        jnp.zeros((2,), jnp.int32),
+                        method=MDMSmpl.init_forward)
+    state = TrainState.create(params, adamw(3e-4))
+    step = jax.jit(make_smpl_train_step(model, diffusion),
+                   donate_argnums=(0,))
+
+    sample = jax.jit(make_sampler(
+        cfg, model, diffusion, smpl=smpl, projector=projector,
+        projector_params=projector_params, use_correction=True,
+        reuse_memory=True))
+    encode = jax.jit(lambda p, g, pts: model.apply(p, g, pts,
+                                                   method=MDMSmpl.encode))
+
+    val = make_batch(np.random.default_rng(7), args.batch)
+    val_gt = smpl_gt_from_raw(val["body_pose"][..., :66], val["body_trans"],
+                              val["obj_angles"], val["obj_trans"])
+    hand = val["body_pose"][..., 66:]
+
+    def evaluate(params, key):
+        gt_post = postprocess_sample(cfg, smpl, val_gt, hand, val["betas"])
+        memory = encode(params, val_gt, val["obj_points"])
+        best = None
+        for j in range(args.diverse):
+            key, k = jax.random.split(key)
+            x = sample(params, k, val_gt, val["obj_points"], hand,
+                       val["betas"], memory)
+            out = postprocess_sample(cfg, smpl, x, hand, val["betas"])
+            p = cfg.past_len
+            m = smpl_metrics(
+                out["obj_pred"][:, p:], out["jtr"][:, p:],
+                out["body_pred"][:, p:], gt_post["obj_pred"][:, p:],
+                gt_post["jtr"][:, p:], gt_post["body_pred"][:, p:],
+                out["verts"][:, p:], jnp.asarray(smpl.faces),
+                val["obj_points"][..., :3])
+            m = {k2: np.asarray(v) for k2, v in m.items()}
+            best = m if best is None else {k2: np.minimum(best[k2], m[k2])
+                                           for k2 in m}
+        return {k2: float(v.mean()) for k2, v in best.items()}
+
+    log = open(os.path.join(args.out, "metrics.jsonl"), "w")
+    t0 = time.time()
+    m0 = evaluate(state.params, jax.random.PRNGKey(100))
+    print(f"untrained ({time.time()-t0:.0f}s incl. compile):", m0, flush=True)
+    log.write(json.dumps({"step": 0, **m0}) + "\n")
+
+    key = jax.random.PRNGKey(1)
+    keep = ("body_pose", "body_trans", "obj_angles", "obj_trans",
+            "obj_points")
+    t0 = time.time()
+    for i in range(args.steps):
+        batch = {k: v for k, v in make_batch(rng, args.batch).items()
+                 if k in keep}
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k)
+    dt = time.time() - t0
+    print(f"trained {args.steps} steps in {dt:.1f}s "
+          f"({args.steps/dt:.1f} steps/s)", flush=True)
+
+    m1 = evaluate(state.params, jax.random.PRNGKey(100))
+    print("trained:", m1, flush=True)
+    log.write(json.dumps({"step": args.steps, "loss": float(metrics["loss"]),
+                          **m1}) + "\n")
+    imp = m0["global_mpjpe"] / max(m1["global_mpjpe"], 1e-9)
+    print(f"global_mpjpe improvement: {imp:.1f}x "
+          f"({m0['global_mpjpe']:.4f} -> {m1['global_mpjpe']:.4f})",
+          flush=True)
+    log.write(json.dumps({"improvement_x": imp}) + "\n")
+    log.close()
+
+
+if __name__ == "__main__":
+    main()
