@@ -42,6 +42,9 @@ def threaded_batches(make_iterator: Callable[[], Iterable], *,
                 except StopIteration:
                     out.put((my_seq, _END))
                     return
+                except BaseException as e:  # surface errors, don't deadlock
+                    out.put((my_seq, ("__error__", e)))
+                    return
             out.put((my_seq, item))
 
     threads = [threading.Thread(target=worker, daemon=True)
@@ -60,6 +63,9 @@ def threaded_batches(make_iterator: Callable[[], Iterable], *,
         expect += 1
         if item is _END:
             done = True
+        elif (isinstance(item, tuple) and len(item) == 2
+              and item[0] == "__error__"):
+            raise item[1]
         else:
             yield item
 

@@ -42,3 +42,18 @@ def test_device_prefetch_places_and_yields_all():
     for i, b in enumerate(out):
         assert isinstance(b["x"], jax.Array)
         np.testing.assert_allclose(np.asarray(b["x"]), i)
+
+
+def test_threaded_batches_propagates_errors():
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    got = []
+    try:
+        for b in threaded_batches(gen, num_workers=2, buffer=2):
+            got.append(b)
+        raised = False
+    except RuntimeError as e:
+        raised = str(e) == "boom"
+    assert raised and got == [1]
