@@ -88,7 +88,12 @@ def nearest_neighbor(a: jax.Array, b: jax.Array, *,
              - 2.0 * _einsum("...pd,...qd->...pq", a, b))
         return (jnp.maximum(jnp.min(d, axis=-1), 0.0),
                 jnp.argmin(d, axis=-1).astype(jnp.int32))
-    assert P2 % chunk == 0, f"P2={P2} not divisible by chunk={chunk}"
+    pad = (-P2) % chunk
+    if pad:
+        # pad with far-away points (never the argmin); 1e6 keeps the
+        # squared distances finite so min/argmin stay well-defined
+        filler = jnp.full(b.shape[:-2] + (pad, 3), 1e6, dtype=b.dtype)
+        b = jnp.concatenate([b, filler], axis=-2)
     return _chunked_nn(a, b, chunk)
 
 

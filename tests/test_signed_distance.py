@@ -63,3 +63,14 @@ def test_sign_semantics():
                                         jnp.asarray(xn), None, chunk=None)
     assert np.asarray(y2x_s)[0, 0] > 0
     assert np.asarray(y2x_s)[0, 1] < 0
+
+
+def test_chunked_nn_non_divisible(rng):
+    """chunk that doesn't divide P2 (e.g. 6890 verts, chunk 512) pads
+    internally and matches the dense path."""
+    a = rng.standard_normal((2, 21, 3)).astype(np.float32)
+    b = rng.standard_normal((2, 55, 3)).astype(np.float32)  # 55 % 16 != 0
+    d0, i0 = nearest_neighbor(jnp.asarray(a), jnp.asarray(b), chunk=None)
+    d1, i1 = nearest_neighbor(jnp.asarray(a), jnp.asarray(b), chunk=16)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-4)
