@@ -82,3 +82,43 @@ def test_unseen_requires_contact(rng):
     poses[:, -4:] = np.array([0, 0, 0, 1.0])
     contact = np.zeros((N, 1))
     assert extract_clips(skeleton, obj, poses, contact, unseen=True) == []
+
+
+def test_load_skeleton_datasets_end_to_end(tmp_path, rng):
+    """Full pipeline: per-sequence pickles on disk -> clips -> cached
+    ds_*.pkl -> seeded splits (`dataset_skeleton.py:164-210`)."""
+    import pickle
+
+    from interdiff_tpu.data.skeleton import load_skeleton_datasets
+
+    def write_seq(dirname, obj_name, n=500):
+        d = tmp_path / dirname
+        d.mkdir()
+        skeleton = rng.standard_normal((n, 21, 3)).tolist()
+        contact = np.ones((n, 1)).tolist()
+        q = _random_quat(rng)
+        t = rng.standard_normal(3)
+        p0 = rng.standard_normal((12, 3))
+        from interdiff_tpu.data.skeleton import quat_xyzw_to_matrix_np
+
+        R = quat_xyzw_to_matrix_np(q)
+        pts = (p0 @ R.T + t)
+        poses = np.tile(np.concatenate([t, q]), (n, 1)).tolist()
+        objdata = np.tile(pts[None], (n, 1, 1)).tolist()
+        with open(d / f"subj_{obj_name}_take1.pkl", "wb") as f:
+            pickle.dump([[skeleton, contact, poses, objdata]], f)
+
+    write_seq("seq1", "box1")
+    write_seq("seq2", "chair3")  # unseen object
+
+    train, valid, test, unseen = load_skeleton_datasets(str(tmp_path))
+    n_seen = len(train) + len(valid) + len(test)
+    assert n_seen > 0 and len(unseen) > 0
+    assert train[0].skeleton.shape == (20, 21, 3)
+    assert train[0].zero_pose_obj.shape == (12, 3)
+
+    # cache files written; second load uses them and reproduces the split
+    assert (tmp_path / "ds_seen.pkl").exists()
+    train2, _, _, unseen2 = load_skeleton_datasets(str(tmp_path))
+    assert len(train2) == len(train) and len(unseen2) == len(unseen)
+    np.testing.assert_allclose(train2[0].skeleton, train[0].skeleton)
