@@ -102,7 +102,15 @@ def quaternion_to_matrix(quaternions: jax.Array) -> jax.Array:
 
 
 def _sqrt_positive_part(x: jax.Array) -> jax.Array:
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt(max(x, 0)) with a safe gradient: ``sqrt(maximum(x, 0))`` would
+    evaluate sqrt AT 0 for clamped entries, whose inf backward factor turns
+    any zero cotangent into NaN (hit when differentiating through
+    matrix_to_quaternion of optimizer-perturbed non-orthonormal matrices —
+    the post-hoc refinement path).  The double-where routes gradients only
+    through the positive branch."""
+    positive = x > 0
+    safe_x = jnp.where(positive, x, 1.0)
+    return jnp.where(positive, jnp.sqrt(safe_x), 0.0)
 
 
 def matrix_to_quaternion(matrix: jax.Array) -> jax.Array:
@@ -142,9 +150,14 @@ def matrix_to_quaternion(matrix: jax.Array) -> jax.Array:
     flr = jnp.asarray(0.1, dtype=q_abs.dtype)
     quat_candidates = quat_by_rijk / (2.0 * jnp.maximum(q_abs[..., None], flr))
 
+    # Select by GATHER, not one-hot multiply: the unselected candidates can
+    # carry inf local gradients (d sqrt/dx at ~0) and 0 * inf = NaN would
+    # poison the backward pass; a gather routes zero cotangent around them
+    # entirely (pytorch3d's boolean-mask indexing has the same property).
     best = jnp.argmax(q_abs, axis=-1)
-    onehot = jax.nn.one_hot(best, 4, dtype=quat_candidates.dtype)
-    return jnp.sum(quat_candidates * onehot[..., None], axis=-2)
+    idx = best[..., None, None]
+    idx = jnp.broadcast_to(idx, best.shape + (1, 4))
+    return jnp.take_along_axis(quat_candidates, idx, axis=-2)[..., 0, :]
 
 
 # ---------------------------------------------------------------------------
