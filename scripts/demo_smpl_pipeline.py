@@ -72,6 +72,9 @@ def main():
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--diverse", type=int, default=4)
+    ap.add_argument("--points", type=int, default=2048)
+    ap.add_argument("--batch_eval", type=int, default=0,
+                    help="eval batch (default = --batch)")
     ap.add_argument("--out", default="results/demo_smpl")
     args = ap.parse_args()
 
@@ -103,7 +106,8 @@ def main():
     projector = ObjProjectorSmpl()
     projector_params, _ = load_correction_smpl()
 
-    ex = make_batch(rng, 2)
+    P = args.points
+    ex = make_batch(rng, 2, P=P)
     gt0 = smpl_gt_from_raw(ex["body_pose"][..., :66], ex["body_trans"],
                            ex["obj_angles"], ex["obj_trans"])
     params = model.init(jax.random.PRNGKey(0), gt0, ex["obj_points"],
@@ -120,7 +124,8 @@ def main():
     encode = jax.jit(lambda p, g, pts: model.apply(p, g, pts,
                                                    method=MDMSmpl.encode))
 
-    val = make_batch(np.random.default_rng(7), args.batch)
+    val = make_batch(np.random.default_rng(7), args.batch_eval or args.batch,
+                     P=P)
     val_gt = smpl_gt_from_raw(val["body_pose"][..., :66], val["body_trans"],
                               val["obj_angles"], val["obj_trans"])
     hand = val["body_pose"][..., 66:]
@@ -157,7 +162,7 @@ def main():
             "obj_points")
     t0 = time.time()
     for i in range(args.steps):
-        batch = {k: v for k, v in make_batch(rng, args.batch).items()
+        batch = {k: v for k, v in make_batch(rng, args.batch, P=P).items()
                  if k in keep}
         key, k = jax.random.split(key)
         state, metrics = step(state, batch, k)
