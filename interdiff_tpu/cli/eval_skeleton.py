@@ -100,10 +100,13 @@ def main():
                                          future_len=args.future_len)
         projector_params, _ = load_correction_skeleton(args.correction_ckpt)
 
+    # encode once per batch, reuse across any repeated sampling
     sample = jax.jit(make_skeleton_sampler(
         cfg, model, diffusion, projector=projector,
         projector_params=projector_params,
-        use_correction=args.mode == "correction"))
+        use_correction=args.mode == "correction", reuse_memory=True))
+    encode = jax.jit(lambda p, sk, op, po, zp: model.apply(
+        p, sk, op, po, zp, method=MDMSkeleton.encode))
 
     def batches():
         if args.synthetic:
@@ -134,8 +137,11 @@ def main():
             "obj": jnp.asarray(batch["obj_points"]),
             "pose": jnp.asarray(batch["poses"]),
         }
+        zp = jnp.asarray(batch["zero_pose_obj"])
+        memory, gt_state = encode(params, gt_parts["body"], gt_parts["obj"],
+                                  gt_parts["pose"], zp)
         x = sample(params, k, gt_parts["body"], gt_parts["obj"],
-                   gt_parts["pose"], jnp.asarray(batch["zero_pose_obj"]))
+                   gt_parts["pose"], zp, memory, gt_state)
         pred = split_skeleton_state(x, cfg)
         if args.rollouts:
             from interdiff_tpu.eval.skeleton import rollout_batch
@@ -146,8 +152,11 @@ def main():
                 nb = rollout_batch(xk, jnp.asarray(batch["zero_pose_obj"]),
                                    cfg)
                 key, kk = jax.random.split(key)
+                mem_k, gt_k = encode(params, nb["skeleton"],
+                                     nb["obj_points"], nb["poses"],
+                                     nb["zero_pose_obj"])
                 xk = sample(params, kk, nb["skeleton"], nb["obj_points"],
-                            nb["poses"], nb["zero_pose_obj"])
+                            nb["poses"], nb["zero_pose_obj"], mem_k, gt_k)
                 pk = split_skeleton_state(xk, cfg)
                 for k2 in full:
                     full[k2] = np.concatenate(
