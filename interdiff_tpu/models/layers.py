@@ -28,7 +28,6 @@ from flax import linen as nn
 
 from interdiff_tpu.ops.attention import banded_qan_attention, multi_head_attention
 
-Dtype = jnp.dtype
 
 
 def sinusoidal_table(max_len: int, d_model: int) -> np.ndarray:
