@@ -26,6 +26,8 @@ def main():
     parser.add_argument("--out_dir", default="./results/optimization")
     parser.add_argument("--config", default=None,
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="refine N synthetic clips (no data needed)")
     args = parser.parse_args()
     if args.config:
         from interdiff_tpu.data.paths import load_paths
@@ -33,12 +35,16 @@ def main():
         _paths = load_paths(args.config)
         args.motion_path = args.motion_path or _paths.motion_path
         args.model_path = args.model_path or _paths.model_path
-    if not (args.motion_path and args.model_path):
+    if not args.synthetic and not (args.motion_path and args.model_path):
         parser.error("--motion_path and --model_path (or --config) required")
 
     from interdiff_tpu.data.behave import BehaveDataset, load_behave_sequences
     from interdiff_tpu.eval.optimization import OptimConfig, optimize_clip
     from interdiff_tpu.smpl.loader import smpl_model_from_pkl
+
+    if args.synthetic:
+        _run_synthetic(args)
+        return
 
     smpl_models = {
         g: smpl_model_from_pkl(os.path.join(args.model_path,
@@ -72,6 +78,54 @@ def main():
         print(i, "best_loss", float(out["best_loss"]))
         if args.limit and i + 1 >= args.limit:
             break
+
+
+
+
+def _run_synthetic(args):
+    """Smoke-refine synthetic clips with a synthetic SMPL-H-shaped body."""
+    import jax
+    import jax.numpy as jnp
+
+    from interdiff_tpu.eval.optimization import OptimConfig, optimize_clip
+    from interdiff_tpu.smpl.model import SmplModel
+
+    rng = np.random.default_rng(233)
+    V, J = 128, 52
+    parents = np.zeros(J, dtype=np.int64)
+    for j in range(1, J):
+        parents[j] = (j - 1) // 2
+    w = np.abs(rng.random((V, J)))
+    smpl = SmplModel.create(
+        v_template=rng.standard_normal((V, 3)) * 0.3,
+        shapedirs=rng.standard_normal((V, 3, 10)) * 0.01,
+        posedirs=rng.standard_normal((V, 3, 9 * (J - 1))) * 0.001,
+        j_regressor=np.abs(rng.random((J, V)))
+        / np.abs(rng.random((J, V))).sum(1, keepdims=True),
+        weights=w / w.sum(1, keepdims=True), parents=parents,
+        faces=np.array([[0, 1, 2], [1, 2, 3]], dtype=np.int32))
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    T = args.past_len + args.future_len
+    for i in range(args.synthetic):
+        out = optimize_clip(
+            smpl,
+            body_pose=jnp.asarray(
+                rng.standard_normal((T, 66)).astype(np.float32) * 0.2),
+            hand_pose=jnp.asarray(
+                rng.standard_normal((T, 90)).astype(np.float32) * 0.05),
+            body_trans=jnp.asarray(
+                rng.standard_normal((T, 3)).astype(np.float32) * 0.1),
+            betas=jnp.zeros((T, 10)),
+            obj_angles=jnp.asarray(
+                rng.standard_normal((T, 3)).astype(np.float32) * 0.3),
+            obj_trans=jnp.zeros((T, 3)),
+            obj_points=jnp.asarray(
+                rng.standard_normal((64, 3)).astype(np.float32) * 0.05),
+            cfg=OptimConfig(nn_chunk=None))
+        np.savez(os.path.join(args.out_dir, f"synthetic_{i}.npz"),
+                 **{k: np.asarray(v) for k, v in out.items()})
+        print(i, "best_loss", float(out["best_loss"]))
 
 
 if __name__ == "__main__":
