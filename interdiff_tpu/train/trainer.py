@@ -10,14 +10,12 @@ distributed path at all, SURVEY.md §2.3).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from interdiff_tpu.diffusion.gaussian import GaussianDiffusion
 from interdiff_tpu.models.mdm_skeleton import MDMSkeleton
