@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--out", default="results/demo")
+    ap.add_argument("--save_params", default=None,
+                    help="save trained params (orbax) here")
     args = ap.parse_args()
 
     from interdiff_tpu.config import SkeletonTrackConfig
@@ -126,6 +128,13 @@ def main():
     log.write(json.dumps({"step": args.steps, "final": m1,
                           "improvement_x": improvement}) + "\n")
     log.close()
+
+    if args.save_params:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(args.save_params)
+        ocp.StandardCheckpointer().save(path, jax.device_get(state.params))
+        print("params saved to", path, flush=True)
 
     try:
         from interdiff_tpu.viz.skeleton_viz import visualize_skeleton
