@@ -90,12 +90,7 @@ def main():
         jnp.zeros((2, 256, 6)), jnp.zeros((2,), jnp.int32),
         method=MDMSmpl.init_forward)
     if args.diffusion_ckpt:
-        import orbax.checkpoint as ocp
-
-        mgr = ocp.CheckpointManager(os.path.abspath(args.diffusion_ckpt))
-        params = {"params": mgr.restore(
-            mgr.latest_step(),
-            args=ocp.args.StandardRestore(params["params"]))}
+        params = _restore_params(args.diffusion_ckpt, params)
 
     projector = projector_params = None
     if args.mode == "correction":
@@ -141,6 +136,19 @@ def main():
                 np.asarray(full))
         if i >= 2:
             break
+
+
+def _restore_params(ckpt_dir, template):
+    """Restore params from either a CheckpointManager directory (training
+    CLIs) or a flat StandardCheckpointer save (demo scripts)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(ckpt_dir)
+    mgr = ocp.CheckpointManager(path)
+    if mgr.latest_step() is not None:
+        return mgr.restore(mgr.latest_step(),
+                           args=ocp.args.StandardRestore(template))
+    return ocp.StandardCheckpointer().restore(path, target=template)
 
 
 if __name__ == "__main__":

@@ -93,12 +93,7 @@ def main():
         jnp.zeros((2, 256, 6)), jnp.zeros((2,), jnp.int32),
         method=MDMSmpl.init_forward)
     if args.diffusion_ckpt:
-        import orbax.checkpoint as ocp
-
-        mgr = ocp.CheckpointManager(os.path.abspath(args.diffusion_ckpt))
-        params = {"params": mgr.restore(
-            mgr.latest_step(),
-            args=ocp.args.StandardRestore(params["params"]))}
+        params = _restore_params(args.diffusion_ckpt, params)
 
     projector = projector_params = None
     if args.mode == "correction":
@@ -178,6 +173,19 @@ def main():
                 np.asarray(verts_s[0]), np.asarray(smpl.faces), obj_verts,
                 np.zeros((1, 3), np.int32), past_len=args.past_len,
                 save_path=os.path.join(args.render_dir, f"batch{nb}.gif"))
+
+
+def _restore_params(ckpt_dir, template):
+    """Restore params from either a CheckpointManager directory (training
+    CLIs) or a flat StandardCheckpointer save (demo scripts)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(ckpt_dir)
+    mgr = ocp.CheckpointManager(path)
+    if mgr.latest_step() is not None:
+        return mgr.restore(mgr.latest_step(),
+                           args=ocp.args.StandardRestore(template))
+    return ocp.StandardCheckpointer().restore(path, target=template)
 
 
 if __name__ == "__main__":
