@@ -29,6 +29,12 @@ BASELINE_FILE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
 
 def measure_tpu() -> float:
     import jax
+
+    # Persistent compilation cache: over the axon tunnel a cold compile of
+    # the 100-step scan takes 10-30 min; cached reruns start in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from interdiff_tpu.diffusion.gaussian import GaussianDiffusion, Inpaint
@@ -66,6 +72,46 @@ def measure_tpu() -> float:
             model_fn, key, (B, T, 144), inpaint=Inpaint(mask, gt))
 
     key = jax.random.PRNGKey(1)
+
+    # DEFAULT: eval-protocol best-of-N with N folded into the batch axis
+    # 2-at-a-time (what `parallel/sample_parallel.py` + `cli/eval_smpl_short
+    # --diverse_fold 2` do): encode the conditioning once per clip batch,
+    # tile it, and run the p_sample_loop over fold*B sequences per call.
+    # Measured on v5e: fold=2 (64 seq/call) 599.9, fold=4 586.6, fold=10
+    # 555.2, fold=1 532.8 seq/s — the scan is latency-bound and 64 rows/call
+    # is the sweet spot.  Override with INTERDIFF_BENCH_DIVERSE=1 for the
+    # sequential per-sample mode.
+    n_div = int(os.environ.get("INTERDIFF_BENCH_DIVERSE", "2"))
+    if n_div > 1:
+        from interdiff_tpu.parallel.sample_parallel import (
+            tile_for_diverse_samples,
+        )
+
+        enc = jax.jit(lambda g, p: model.apply(params, g, p,
+                                               method=MDMSmpl.encode))
+        Bt = n_div * B
+        mask_t = jnp.zeros((Bt, T, 144), bool).at[:, :T_PAST].set(True)
+
+        @jax.jit
+        def sample_tiled(key, gt_t, memory_t):
+            def model_fn(x, ts):
+                return model.apply(params, x, ts, memory_t)
+
+            return diffusion.p_sample_loop(
+                model_fn, key, (Bt, T, 144), inpaint=Inpaint(mask_t, gt_t))
+
+        memory = enc(gt, obj_points)
+        memory_t = tile_for_diverse_samples(memory, n_div)
+        gt_t = tile_for_diverse_samples(gt, n_div)
+        sample_tiled(key, gt_t, memory_t).block_until_ready()  # compile
+        n_rep = 5
+        t0 = time.perf_counter()
+        memory_t = tile_for_diverse_samples(enc(gt, obj_points), n_div)
+        for i in range(n_rep):
+            out = sample_tiled(jax.random.fold_in(key, i), gt_t, memory_t)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        return Bt * n_rep / dt
 
     if os.environ.get("INTERDIFF_BENCH_NO_REUSE") != "1":
         # DEFAULT = eval-protocol mode: best-of-N evaluation (the pinned

@@ -100,3 +100,24 @@ def snapshot_sources(results_dir: str, modules: "list[str]") -> None:
             shutil.copy(mod.__file__, dst / pathlib.Path(mod.__file__).name)
         except Exception:
             pass
+
+
+def synthetic_smpl_body(rng: np.random.Generator, *, num_verts: int = 128,
+                        num_joints: int = 52):
+    """SMPL-H-shaped synthetic body model (real pkls are not shipped):
+    same array shapes and kinematic-tree depth, random-but-valid weights."""
+    from interdiff_tpu.smpl.model import SmplModel
+
+    V, J = num_verts, num_joints
+    parents = np.zeros(J, dtype=np.int64)
+    for j in range(1, J):
+        parents[j] = (j - 1) // 2
+    w = np.abs(rng.random((V, J)))
+    return SmplModel.create(
+        v_template=rng.standard_normal((V, 3)) * 0.3,
+        shapedirs=rng.standard_normal((V, 3, 10)) * 0.01,
+        posedirs=rng.standard_normal((V, 3, 9 * (J - 1))) * 0.001,
+        j_regressor=np.abs(rng.random((J, V)))
+        / np.abs(rng.random((J, V))).sum(1, keepdims=True),
+        weights=w / w.sum(1, keepdims=True), parents=parents,
+        faces=np.array([[0, 1, 2], [1, 2, 3]], dtype=np.int32))

@@ -39,6 +39,10 @@ def main():
                         help="timestep respacing, e.g. '100' or 'ddim50'")
     parser.add_argument("--config", default=None,
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
+    parser.add_argument("--out_dir", default="./results")
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="roll out N synthetic batches with a synthetic "
+                             "SMPL body (no datasets/pkls needed)")
     args = parser.parse_args()
     if args.config:
         from interdiff_tpu.data.paths import load_paths
@@ -46,8 +50,9 @@ def main():
         _paths = load_paths(args.config)
         args.motion_path = args.motion_path or _paths.motion_path
         args.model_path = args.model_path or _paths.model_path
-    if not (args.motion_path and args.model_path):
-        parser.error("--motion_path and --model_path are required")
+    if not args.synthetic and not (args.motion_path and args.model_path):
+        parser.error("--motion_path and --model_path are required "
+                     "(or use --synthetic N)")
 
     from interdiff_tpu.cli.common import batch_iterator, seed_everything
     from interdiff_tpu.config import SmplTrackConfig
@@ -77,12 +82,18 @@ def main():
     model = track.build_model()
     diffusion = track.diffusion.build()
 
-    smpl_models = {
-        g: smpl_model_from_pkl(os.path.join(args.model_path,
-                                            f"SMPLH_{g}.pkl"))
-        for g in ("male", "female")
-    }
-    smpl = smpl_models["male"]
+    if args.synthetic:
+        from interdiff_tpu.cli.common import synthetic_smpl_body
+
+        smpl = synthetic_smpl_body(rng)
+        smpl_models = {"male": smpl, "female": smpl}
+    else:
+        smpl_models = {
+            g: smpl_model_from_pkl(os.path.join(args.model_path,
+                                                f"SMPLH_{g}.pkl"))
+            for g in ("male", "female")
+        }
+        smpl = smpl_models["male"]
 
     T = cfg.seq_len
     params = model.init(
@@ -110,13 +121,21 @@ def main():
     def pelvis_fn(x, hand, betas):
         return postprocess_sample(cfg, smpl, x, hand, betas)["pelvis"]
 
-    seqs = load_behave_sequences(args.motion_path, smpl_models=smpl_models,
-                                 mode="test")
-    ds = BehaveDataset(seqs, past_len=args.past_len,
-                       future_len=args.future_len, rng=rng)
-    loader = batch_iterator(ds, collate, batch_size=args.batch_size, rng=rng,
-                            shuffle=False)
+    if args.synthetic:
+        from interdiff_tpu.cli.common import synthetic_smpl_batches
 
+        loader = synthetic_smpl_batches(
+            rng, batch_size=args.batch_size, seq_len=T, num_points=512,
+            steps=args.synthetic)
+    else:
+        seqs = load_behave_sequences(args.motion_path,
+                                     smpl_models=smpl_models, mode="test")
+        ds = BehaveDataset(seqs, past_len=args.past_len,
+                           future_len=args.future_len, rng=rng)
+        loader = batch_iterator(ds, collate, batch_size=args.batch_size,
+                                rng=rng, shuffle=False)
+
+    os.makedirs(args.out_dir, exist_ok=True)
     key = jax.random.PRNGKey(args.seed)
     for i, batch in enumerate(loader):
         gt = smpl_gt_from_raw(
@@ -132,7 +151,7 @@ def main():
                        num_chunks=args.rollouts, cfg=cfg)
         print(f"batch {i}: rolled out {full.shape[1]} frames "
               f"({1 + args.rollouts} windows)")
-        np.save(os.path.join("./results", f"rollout_{i}.npy"),
+        np.save(os.path.join(args.out_dir, f"rollout_{i}.npy"),
                 np.asarray(full))
         if i >= 2:
             break

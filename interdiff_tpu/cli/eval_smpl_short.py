@@ -31,6 +31,11 @@ def main():
                         choices=["correction", "no_correction"])
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--diverse_samples", type=int, default=10)
+    parser.add_argument("--diverse_fold", type=int, default=2,
+                        help="diverse samples folded into the batch axis per "
+                             "sampling call (must divide --diverse_samples); "
+                             "2 is the measured throughput sweet spot at "
+                             "batch 32 on v5e")
     parser.add_argument("--past_len", type=int, default=10)
     parser.add_argument("--future_len", type=int, default=25)
     parser.add_argument("--seed", type=int, default=233)
@@ -42,6 +47,9 @@ def main():
                         help="write a gif of sample 0 per batch (seam-smoothed)")
     parser.add_argument("--config", default=None,
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="evaluate N synthetic batches with a synthetic "
+                             "SMPL body (no datasets/pkls needed)")
     args = parser.parse_args()
     if args.config:
         from interdiff_tpu.data.paths import load_paths
@@ -49,8 +57,9 @@ def main():
         _paths = load_paths(args.config)
         args.motion_path = args.motion_path or _paths.motion_path
         args.model_path = args.model_path or _paths.model_path
-    if not (args.motion_path and args.model_path):
-        parser.error("--motion_path and --model_path are required")
+    if not args.synthetic and not (args.motion_path and args.model_path):
+        parser.error("--motion_path and --model_path are required "
+                     "(or use --synthetic N)")
 
     from interdiff_tpu.cli.common import batch_iterator, seed_everything
     from interdiff_tpu.config import SmplTrackConfig
@@ -80,12 +89,18 @@ def main():
     model = track.build_model()
     diffusion = track.diffusion.build()
 
-    smpl_models = {
-        g: smpl_model_from_pkl(os.path.join(args.model_path,
-                                            f"SMPLH_{g}.pkl"))
-        for g in ("male", "female")
-    }
-    smpl = smpl_models["male"]  # eval uses male for all (`:148`)
+    if args.synthetic:
+        from interdiff_tpu.cli.common import synthetic_smpl_body
+
+        smpl = synthetic_smpl_body(rng)
+        smpl_models = {"male": smpl, "female": smpl}
+    else:
+        smpl_models = {
+            g: smpl_model_from_pkl(os.path.join(args.model_path,
+                                                f"SMPLH_{g}.pkl"))
+            for g in ("male", "female")
+        }
+        smpl = smpl_models["male"]  # eval uses male for all (`:148`)
 
     T = cfg.seq_len
     params = model.init(
@@ -113,12 +128,28 @@ def main():
     encode = jax.jit(lambda p, g, pts: model.apply(p, g, pts,
                                                    method=MDMSmpl.encode))
 
-    seqs = load_behave_sequences(args.motion_path, smpl_models=smpl_models,
-                                 mode="test")
-    ds = BehaveDataset(seqs, past_len=args.past_len,
-                       future_len=args.future_len, rng=rng)
-    loader = batch_iterator(ds, collate, batch_size=args.batch_size, rng=rng,
-                            shuffle=False)
+    if args.synthetic:
+        from interdiff_tpu.cli.common import synthetic_smpl_batches
+
+        loader = synthetic_smpl_batches(
+            rng, batch_size=args.batch_size, seq_len=T, num_points=512,
+            steps=args.synthetic)
+    else:
+        seqs = load_behave_sequences(args.motion_path,
+                                     smpl_models=smpl_models, mode="test")
+        ds = BehaveDataset(seqs, past_len=args.past_len,
+                           future_len=args.future_len, rng=rng)
+        loader = batch_iterator(ds, collate, batch_size=args.batch_size,
+                                rng=rng, shuffle=False)
+
+    n_fold = max(1, args.diverse_fold)
+    if args.diverse_samples % n_fold:
+        parser.error("--diverse_fold must divide --diverse_samples")
+
+    from interdiff_tpu.parallel.sample_parallel import (
+        split_diverse_samples,
+        tile_for_diverse_samples,
+    )
 
     key = jax.random.PRNGKey(args.seed)
     totals, nb = {}, 0
@@ -134,10 +165,16 @@ def main():
         betas = jnp.asarray(batch["body_betas"]) \
             if "body_betas" in batch else jnp.zeros(gt.shape[:2] + (10,))
 
-        gt_post = postprocess_sample(cfg, smpl, gt, hand, betas)
         memory = encode(params, gt, obj_points6)
+        if n_fold > 1:
+            # fold n_fold diverse samples into the batch axis per call
+            # (independent stochastic samples -> one device-saturating call)
+            gt, obj_points6, hand, betas, memory = (
+                tile_for_diverse_samples(a, n_fold)
+                for a in (gt, obj_points6, hand, betas, memory))
+        gt_post = postprocess_sample(cfg, smpl, gt, hand, betas)
         best = None
-        for j in range(args.diverse_samples):
+        for j in range(args.diverse_samples // n_fold):
             key, k = jax.random.split(key)
             x = sample(params, k, gt, obj_points6, hand, betas, memory)
             out = postprocess_sample(cfg, smpl, x, hand, betas)
@@ -147,7 +184,8 @@ def main():
                 gt_post["jtr"][:, p:], gt_post["body_pred"][:, p:],
                 out["verts"][:, p:], jnp.asarray(smpl.faces),
                 obj_points6[..., :3])
-            m = {k2: np.asarray(v) for k2, v in m.items()}
+            m = {k2: np.asarray(split_diverse_samples(
+                jnp.asarray(v), n_fold)).min(axis=0) for k2, v in m.items()}
             best = m if best is None else {
                 k2: np.minimum(best[k2], m[k2]) for k2 in m}
         nb += 1

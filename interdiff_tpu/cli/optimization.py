@@ -87,23 +87,11 @@ def _run_synthetic(args):
     import jax
     import jax.numpy as jnp
 
+    from interdiff_tpu.cli.common import synthetic_smpl_body
     from interdiff_tpu.eval.optimization import OptimConfig, optimize_clip
-    from interdiff_tpu.smpl.model import SmplModel
 
     rng = np.random.default_rng(233)
-    V, J = 128, 52
-    parents = np.zeros(J, dtype=np.int64)
-    for j in range(1, J):
-        parents[j] = (j - 1) // 2
-    w = np.abs(rng.random((V, J)))
-    smpl = SmplModel.create(
-        v_template=rng.standard_normal((V, 3)) * 0.3,
-        shapedirs=rng.standard_normal((V, 3, 10)) * 0.01,
-        posedirs=rng.standard_normal((V, 3, 9 * (J - 1))) * 0.001,
-        j_regressor=np.abs(rng.random((J, V)))
-        / np.abs(rng.random((J, V))).sum(1, keepdims=True),
-        weights=w / w.sum(1, keepdims=True), parents=parents,
-        faces=np.array([[0, 1, 2], [1, 2, 3]], dtype=np.int32))
+    smpl = synthetic_smpl_body(rng)
 
     os.makedirs(args.out_dir, exist_ok=True)
     T = args.past_len + args.future_len

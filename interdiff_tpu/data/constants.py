@@ -125,3 +125,61 @@ OBJ_CONNECTS = {
 
 # Full-resolution object templates (`data/utils.py:42-62`).
 FULL_MESH = {k: f"{k}/{k}.obj" for k in SIMPLIFIED_MESH}
+
+# SMPL-H joint names in regressor order (`data/utils.py:64-137`): 52
+# kinematic joints followed by the face/foot/fingertip extras appended by
+# VertexJointSelector.
+SMPLH_JOINT_NAMES = (
+    ["pelvis", "left_hip", "right_hip", "spine1", "left_knee", "right_knee",
+     "spine2", "left_ankle", "right_ankle", "spine3", "left_foot",
+     "right_foot", "neck", "left_collar", "right_collar", "head",
+     "left_shoulder", "right_shoulder", "left_elbow", "right_elbow",
+     "left_wrist", "right_wrist"]
+    + [f"left_{f}{i}" for f in ("index", "middle", "pinky", "ring", "thumb")
+       for i in (1, 2, 3)]
+    + [f"right_{f}{i}" for f in ("index", "middle", "pinky", "ring", "thumb")
+       for i in (1, 2, 3)]
+    + ["nose", "right_eye", "left_eye", "right_ear", "left_ear",
+       "left_big_toe", "left_small_toe", "left_heel", "right_big_toe",
+       "right_small_toe", "right_heel"]
+    + [f"left_{t}" for t in ("thumb", "index", "middle", "ring", "pinky")]
+    + [f"right_{t}" for t in ("thumb", "index", "middle", "ring", "pinky")]
+)
+
+# Landmark vertex ids on the SMPL-H template (`data/utils.py:139-162`).
+SMPLH_VERTEX_INDEX = {
+    "nose": 332, "reye": 6260, "leye": 2800, "rear": 4071, "lear": 583,
+    "rthumb": 6191, "rindex": 5782, "rmiddle": 5905, "rring": 6016,
+    "rpinky": 6133, "lthumb": 2746, "lindex": 2319, "lmiddle": 2445,
+    "lring": 2556, "lpinky": 2673, "LBigToe": 3216, "LSmallToe": 3226,
+    "LHeel": 3387, "RBigToe": 6617, "RSmallToe": 6624, "RHeel": 6787,
+}
+
+
+def vertex_joint_selector_ids(*, use_hands: bool = True,
+                              use_feet_keypoints: bool = True) -> np.ndarray:
+    """Extra-joint vertex ids in the reference's VertexJointSelector order
+    (`data/utils.py:164-215`): feet keypoints first, then l/r fingertips."""
+    ids: list[int] = []
+    if use_feet_keypoints:
+        ids += [SMPLH_VERTEX_INDEX[k] for k in
+                ("LBigToe", "LSmallToe", "LHeel",
+                 "RBigToe", "RSmallToe", "RHeel")]
+    if use_hands:
+        ids += [SMPLH_VERTEX_INDEX[h + t] for h in ("l", "r")
+                for t in ("thumb", "index", "middle", "ring", "pinky")]
+    return np.asarray(ids, dtype=np.int32)
+
+
+def select_extra_joints(vertices, joints, *, use_hands: bool = True,
+                        use_feet_keypoints: bool = True):
+    """VertexJointSelector.forward equivalent (`data/utils.py:209-215`):
+    gather landmark vertices and append them to the joint set.  Works on
+    numpy or jax arrays ([B, V, 3], [B, J, 3] -> [B, J+E, 3])."""
+    ids = vertex_joint_selector_ids(
+        use_hands=use_hands, use_feet_keypoints=use_feet_keypoints)
+    extra = vertices[:, ids]
+    if isinstance(joints, np.ndarray):
+        return np.concatenate([joints, extra], axis=1)
+    import jax.numpy as jnp  # keep this module import-light for host tools
+    return jnp.concatenate([joints, extra], axis=1)

@@ -392,3 +392,52 @@ class STGCNNLayer(nn.Module):
         h = h + res
         alpha = self.param("prelu", nn.initializers.constant(0.25), ())
         return jnp.where(h >= 0, h, alpha * h)
+
+
+def nerf_embedder(multires: int, input_dims: int = 3, *,
+                  include_input: bool = True, log_sampling: bool = True
+                  ) -> Tuple[Callable[[jax.Array], jax.Array], int]:
+    """NeRF positional encoding factory (`interdiff/model/layers.py:48-96`,
+    unused by the main InterDiff path but part of its public layer surface).
+
+    Returns ``(embed_fn, out_dim)`` like the reference's ``get_embedder``:
+    ``embed(x) = [x?, sin(x*f_0), cos(x*f_0), ..., sin(x*f_{L-1}), ...]``
+    with ``f_i = 2**linspace(0, multires-1, multires)`` (log sampling) or
+    linearly spaced between 1 and ``2**(multires-1)``.  ``multires == -1``
+    degenerates to identity (reference `get_embedder(i=-1)`).
+    """
+    if multires == -1:
+        return (lambda x: x), input_dims
+    max_freq = multires - 1
+    if log_sampling:
+        freqs = 2.0 ** np.linspace(0.0, max_freq, multires)
+    else:
+        freqs = np.linspace(2.0 ** 0.0, 2.0 ** max_freq, multires)
+    freqs = jnp.asarray(freqs, jnp.float32)
+    out_dim = (input_dims if include_input else 0) + 2 * multires * input_dims
+
+    def embed(x: jax.Array) -> jax.Array:
+        parts = [x] if include_input else []
+        for f in freqs:  # static unroll: order matches [sin, cos] per freq
+            parts.append(jnp.sin(x * f))
+            parts.append(jnp.cos(x * f))
+        return jnp.concatenate(parts, axis=-1)
+
+    return embed, out_dim
+
+
+class NormalDistDecoder(nn.Module):
+    """Feature -> diagonal-Normal head (`interdiff/model/layers.py:98-108`,
+    unused by the main path).  Returns ``(mu, sigma)`` with
+    ``sigma = exp(0.5 * logvar)``; jax has no distributions module, so the
+    caller reparameterises with ``mu + sigma * eps`` as needed."""
+
+    num_feat_in: int
+    latent_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        x = x.reshape(-1, self.num_feat_in)
+        mu = nn.Dense(self.latent_dim, name="mu")(x)
+        logvar = nn.Dense(self.latent_dim, name="logvar")(x)
+        return mu, jnp.exp(0.5 * logvar)

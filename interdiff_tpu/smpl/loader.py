@@ -104,3 +104,18 @@ def smpl_model_from_npz(npz_path: str | Path):
         v_template=z["v_template"], shapedirs=z["shapedirs"],
         posedirs=z["posedirs"], j_regressor=z["j_regressor"],
         weights=z["weights"], parents=z["parents"], faces=z["faces"])
+
+
+def get_body_model(path: str | Path, model_type: str, gender: str,
+                   *, num_betas: int = 10, ext: str = "pkl"):
+    """Body-model factory mirroring `interdiff/data/utils.py:413-447`
+    (there an smplx factory; unused by the main InterDiff path).  Resolves
+    ``{path}/{model_type}/{MODEL_TYPE}_{GENDER}.{ext}`` and returns a
+    :class:`SmplModel` for the JAX forward.  ``batch_size``/``device`` from
+    the reference signature are meaningless in jax (shapes are per-call,
+    placement is by sharding) and intentionally dropped."""
+    gender = str(gender).upper()
+    model_path = Path(path) / model_type / f"{model_type.upper()}_{gender}.{ext}"
+    if ext == "npz":
+        return smpl_model_from_npz(model_path)
+    return smpl_model_from_pkl(model_path, num_betas=num_betas)

@@ -76,6 +76,10 @@ def main():
     ap.add_argument("--batch_eval", type=int, default=0,
                     help="eval batch (default = --batch)")
     ap.add_argument("--out", default="results/demo_smpl")
+    ap.add_argument("--eval_every", type=int, default=0,
+                    help="run the best-of-N eval every N training steps")
+    ap.add_argument("--save_params", default=None,
+                    help="save trained params (orbax) here")
     args = ap.parse_args()
 
     from interdiff_tpu.config import DiffusionConfig, SmplTrackConfig
@@ -166,6 +170,13 @@ def main():
                  if k in keep}
         key, k = jax.random.split(key)
         state, metrics = step(state, batch, k)
+        if args.eval_every and (i + 1) % args.eval_every == 0:
+            mi = evaluate(state.params, jax.random.PRNGKey(100))
+            print(f"step {i+1}: loss={float(metrics['loss']):.4f}", mi,
+                  flush=True)
+            log.write(json.dumps(
+                {"step": i + 1, "loss": float(metrics["loss"]), **mi}) + "\n")
+            log.flush()
     dt = time.time() - t0
     print(f"trained {args.steps} steps in {dt:.1f}s "
           f"({args.steps/dt:.1f} steps/s)", flush=True)
@@ -180,6 +191,13 @@ def main():
           flush=True)
     log.write(json.dumps({"improvement_x": imp}) + "\n")
     log.close()
+
+    if args.save_params:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(args.save_params)
+        ocp.StandardCheckpointer().save(path, jax.device_get(state.params))
+        print("params saved to", path, flush=True)
 
 
 if __name__ == "__main__":
