@@ -34,6 +34,10 @@ def main():
     parser.add_argument("--synthetic", type=int, default=0,
                         help="run N synthetic steps (no data needed)")
     parser.add_argument("--val_every", type=int, default=10)
+    parser.add_argument("--val_respacing", default="",
+                        help="timestep respacing for the validation sampler "
+                             "('' = the faithful full schedule; e.g. '25' "
+                             "for fast smoke validation)")
     parser.add_argument("--config", default=None,
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
     args = parser.parse_args()
@@ -104,7 +108,14 @@ def main():
     # validation_step (`train_diffusion_skeleton.py:272-295`)
     eval_cfg = SkeletonEvalConfig(past_len=args.past_len,
                                   future_len=args.future_len)
-    val_sampler = jax.jit(make_skeleton_sampler(eval_cfg, model, diffusion))
+    val_diffusion = diffusion
+    if args.val_respacing:
+        from interdiff_tpu.config import DiffusionConfig
+
+        val_diffusion = DiffusionConfig(
+            timestep_respacing=args.val_respacing).build()
+    val_sampler = jax.jit(make_skeleton_sampler(eval_cfg, model,
+                                                val_diffusion))
 
     def run_validation(params, batch, key):
         x = val_sampler(params, key, jnp.asarray(batch["skeleton"]),
@@ -120,19 +131,28 @@ def main():
 
     key = jax.random.PRNGKey(args.seed)
 
-    def epoch_batches():
-        if args.synthetic:
+    val_batch_np = None  # the reference validates on the held-out val split
+    if args.synthetic:
+        def epoch_batches():
             return synthetic_skeleton_batches(
                 rng, batch_size=args.batch_size, seq_len=T,
                 steps=args.synthetic)
+    else:
         from interdiff_tpu.data.skeleton import (
             collate_skeleton,
             load_skeleton_datasets,
         )
 
-        train, _, _, _ = load_skeleton_datasets(args.motion_path)
-        return batch_iterator(train, collate_skeleton,
-                              batch_size=args.batch_size, rng=rng)
+        train, val_split, _, _ = load_skeleton_datasets(args.motion_path)
+
+        def epoch_batches():
+            return batch_iterator(train, collate_skeleton,
+                                  batch_size=args.batch_size, rng=rng)
+
+        if len(val_split):
+            val_batch_np = next(iter(batch_iterator(
+                val_split, collate_skeleton, batch_size=args.batch_size,
+                rng=rng, shuffle=False)))
 
     i = 0
     for epoch in range(args.epochs if not args.synthetic else 1):
@@ -152,7 +172,10 @@ def main():
             i += 1
         if (epoch + 1) % args.val_every == 0 or args.synthetic:
             key, k_val = jax.random.split(key)
-            val_metrics = run_validation(state.params, batch_np_last, k_val)
+            val_metrics = run_validation(
+                state.params,
+                batch_np_last if val_batch_np is None else val_batch_np,
+                k_val)
             logger.log(i, val_metrics, epoch=epoch, split="valid")
             print(f"epoch {epoch} val {val_metrics}")
             ckpt.save(i, jax.device_get(state.params),

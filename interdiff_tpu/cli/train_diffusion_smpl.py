@@ -32,6 +32,10 @@ def main():
                         help="orbax ckpt dir to resume params from")
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--val_every", type=int, default=50)
+    parser.add_argument("--val_respacing", default="",
+                        help="timestep respacing for the validation sampler "
+                             "('' = the faithful full schedule; e.g. '25' "
+                             "for fast smoke validation)")
     parser.add_argument("--config", default=None,
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
     args = parser.parse_args()
@@ -92,11 +96,55 @@ def main():
     logger = MetricsLogger(os.path.join(args.results_dir, "metrics.jsonl"))
     key = jax.random.PRNGKey(args.seed)
 
-    def epoch_batches():
-        if args.synthetic:
+    # validation = full inpainting sampling + rotation-matrix-space val loss,
+    # like the reference's validation_step + calc_val_loss
+    # (`train_diffusion_smpl.py:185-260,389-414`); the best checkpoint is
+    # selected on this val_loss (ModelCheckpoint(monitor='val_loss')).
+    from interdiff_tpu.eval.smpl_short import (
+        SmplEvalConfig,
+        make_sampler,
+        state_to_axis_angle,
+    )
+    from interdiff_tpu.models.mdm_smpl import smpl_gt_from_raw
+    from interdiff_tpu.train.losses import smpl_val_losses
+
+    eval_cfg = SmplEvalConfig(past_len=args.past_len,
+                              future_len=args.future_len)
+    val_diffusion = diffusion
+    if args.val_respacing:
+        from interdiff_tpu.config import DiffusionConfig
+
+        val_diffusion = DiffusionConfig(
+            timestep_respacing=args.val_respacing).build()
+    val_sampler = jax.jit(make_sampler(eval_cfg, model, val_diffusion))
+
+    @jax.jit
+    def _val_losses(params, key, gt, pts6, hand, betas):
+        x = val_sampler(params, key, gt, pts6, hand, betas)
+        body_p, obj_p = state_to_axis_angle(eval_cfg, x)
+        body_g, obj_g = state_to_axis_angle(eval_cfg, gt)
+        return smpl_val_losses(body_p, body_g, obj_p, obj_g,
+                               past_len=args.past_len)
+
+    def run_validation(params, b, key):
+        gt = smpl_gt_from_raw(
+            jnp.asarray(b["body_pose"][..., :66]),
+            jnp.asarray(b["body_trans"]),
+            jnp.asarray(b["obj_angles"]), jnp.asarray(b["obj_trans"]))
+        loss, terms = _val_losses(
+            params, key, gt, jnp.asarray(b["obj_points"][..., :6]),
+            jnp.asarray(b["body_pose"][..., 66:]),
+            jnp.asarray(b["body_betas"]) if "body_betas" in b
+            else jnp.zeros(gt.shape[:2] + (10,)))
+        return float(loss), {k: float(v) for k, v in terms.items()}
+
+    val_batch_np = None  # the reference validates on the test split
+    if args.synthetic:
+        def epoch_batches():
             return synthetic_smpl_batches(
                 rng, batch_size=args.batch_size, seq_len=T,
                 steps=args.synthetic)
+    else:
         from interdiff_tpu.data.behave import (
             BehaveDataset,
             collate,
@@ -113,8 +161,21 @@ def main():
                                      smpl_models=smpl_models, mode="train")
         ds = BehaveDataset(seqs, past_len=args.past_len,
                            future_len=args.future_len, rng=rng)
-        return batch_iterator(ds, collate, batch_size=args.batch_size,
-                              rng=rng)
+
+        def epoch_batches():
+            return batch_iterator(ds, collate, batch_size=args.batch_size,
+                                  rng=rng)
+
+        try:
+            test_ds = BehaveDataset(
+                load_behave_sequences(args.motion_path,
+                                      smpl_models=smpl_models, mode="test"),
+                past_len=args.past_len, future_len=args.future_len, rng=rng)
+            val_batch_np = next(iter(batch_iterator(
+                test_ds, collate, batch_size=args.batch_size, rng=rng,
+                shuffle=False)))
+        except Exception as e:  # no Date03* sequences in a partial corpus
+            print("validation falls back to the last train batch:", e)
 
     keep = ("body_pose", "body_trans", "obj_angles", "obj_trans",
             "obj_points")
@@ -124,9 +185,10 @@ def main():
 
         def _placed():
             for b in threaded_batches(epoch_batches, num_workers=2):
-                yield step.place_batch({k: jnp.asarray(b[k]) for k in keep})
+                yield b, step.place_batch(
+                    {k: jnp.asarray(b[k]) for k in keep})
 
-        for batch in _placed():
+        for batch_np, batch in _placed():
             key, k_step = jax.random.split(key)
             state, metrics = step(state, batch, k_step)
             if i % 10 == 0:
@@ -134,8 +196,13 @@ def main():
                 print(f"step {i} loss {float(metrics['loss']):.4f}")
             i += 1
         if (epoch + 1) % args.val_every == 0 or args.synthetic:
-            ckpt.save(i, jax.device_get(state.params),
-                      val_loss=float(metrics["loss"]))
+            key, k_val = jax.random.split(key)
+            val_loss, val_terms = run_validation(
+                state.params,
+                batch_np if val_batch_np is None else val_batch_np, k_val)
+            logger.log(i, {"val_loss": val_loss, **val_terms}, epoch=epoch)
+            print(f"epoch {epoch} val_loss {val_loss:.4f}")
+            ckpt.save(i, jax.device_get(state.params), val_loss=val_loss)
     ckpt.wait()
     logger.close()
     print("done:", i, "steps")

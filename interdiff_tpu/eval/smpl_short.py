@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -229,3 +229,19 @@ def postprocess_sample(
         "jtr": jtr.reshape(B, T, -1, 3),
         "pelvis": jtr.reshape(B, T, -1, 3)[:, :, 0],
     }
+
+
+def state_to_axis_angle(cfg: SmplEvalConfig, x: jax.Array
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Sampled/gt state [B,T,144] -> (body aa+trans [B,T,69],
+    obj aa+trans [B,T,6]) without FK or hand padding — the representation
+    `calc_val_loss` scores (`train_diffusion_smpl.py:185-260`)."""
+    B, T = x.shape[:2]
+    D = cfg.smpl_dim + 3
+    body, obj = x[..., :D], x[..., D:]
+    body_aa = matrix_to_axis_angle(
+        rotation_6d_to_matrix(body[..., :-3].reshape(B, T, -1, 6))
+    ).reshape(B, T, -1)
+    obj_aa = matrix_to_axis_angle(rotation_6d_to_matrix(obj[..., :6]))
+    return (jnp.concatenate([body_aa, body[..., -3:]], axis=-1),
+            jnp.concatenate([obj_aa, obj[..., -3:]], axis=-1))
