@@ -75,3 +75,40 @@ def test_smpl_metrics_shapes(rng):
     for k in ("global_mpjpe", "local_mpjpe", "body_translation",
               "obj_translation", "obj_rot_error"):
         np.testing.assert_allclose(np.asarray(m[k]), 0.0, atol=1e-5)
+
+
+def test_state_to_axis_angle_roundtrip(rng):
+    """smpl_gt_from_raw -> state_to_axis_angle recovers the axis-angle
+    rotations (up to angle wrapping) and the translations exactly."""
+    import jax.numpy as jnp
+
+    from interdiff_tpu.eval.smpl_short import (
+        SmplEvalConfig,
+        state_to_axis_angle,
+    )
+    from interdiff_tpu.geometry.rotations import axis_angle_to_matrix
+    from interdiff_tpu.models.mdm_smpl import smpl_gt_from_raw
+
+    B, T = 2, 5
+    body_aa = rng.standard_normal((B, T, 66)).astype(np.float32) * 0.4
+    body_tr = rng.standard_normal((B, T, 3)).astype(np.float32)
+    obj_aa = rng.standard_normal((B, T, 3)).astype(np.float32) * 0.4
+    obj_tr = rng.standard_normal((B, T, 3)).astype(np.float32)
+
+    x = smpl_gt_from_raw(jnp.asarray(body_aa), jnp.asarray(body_tr),
+                         jnp.asarray(obj_aa), jnp.asarray(obj_tr))
+    body_out, obj_out = state_to_axis_angle(SmplEvalConfig(), x)
+    assert body_out.shape == (B, T, 69) and obj_out.shape == (B, T, 6)
+    # rotations compare in matrix space (axis-angle is multivalued)
+    np.testing.assert_allclose(
+        np.asarray(axis_angle_to_matrix(
+            jnp.asarray(body_out[..., :66]).reshape(B, T, 22, 3))),
+        np.asarray(axis_angle_to_matrix(
+            jnp.asarray(body_aa).reshape(B, T, 22, 3))), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(axis_angle_to_matrix(obj_out[..., :3])),
+        np.asarray(axis_angle_to_matrix(jnp.asarray(obj_aa))), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(body_out[..., 66:]), body_tr,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(obj_out[..., 3:]), obj_tr,
+                               atol=1e-6)
