@@ -121,3 +121,58 @@ def synthetic_smpl_body(rng: np.random.Generator, *, num_verts: int = 128,
         / np.abs(rng.random((J, V))).sum(1, keepdims=True),
         weights=w / w.sum(1, keepdims=True), parents=parents,
         faces=np.array([[0, 1, 2], [1, 2, 3]], dtype=np.int32))
+
+
+def add_profiler_args(parser) -> None:
+    """`--profiler` / `--debug_nan` on every trainer, mirroring the
+    reference's Simple/AdvancedProfiler flag (`train_diffusion_smpl.py:585,
+    641`) and its always-on `set_detect_anomaly` (`:608`, gated here)."""
+    parser.add_argument("--profiler", default=None,
+                        choices=["simple", "trace"],
+                        help="'simple' = per-section wall-clock summary; "
+                             "'trace' = jax.profiler trace into "
+                             "<results_dir>/trace")
+    parser.add_argument("--debug_nan", action="store_true",
+                        help="enable the jax NaN sanitizer (the reference "
+                             "runs torch detect_anomaly unconditionally; "
+                             "here it is opt-in)")
+
+
+class TrainProfiler:
+    """Owns the profiling state for one trainer run: a StepTimer for
+    `--profiler simple`, a jax.profiler trace for `--profiler trace`."""
+
+    def __init__(self, args, results_dir: str):
+        from interdiff_tpu.utils.profiling import (
+            StepTimer,
+            enable_anomaly_detection,
+        )
+
+        if getattr(args, "debug_nan", False):
+            enable_anomaly_detection(True)
+        self.mode = getattr(args, "profiler", None)
+        self.timer = StepTimer()
+        self._trace_dir = os.path.join(results_dir, "trace")
+        self._tracing = False
+        if self.mode == "trace":
+            import jax
+
+            os.makedirs(self._trace_dir, exist_ok=True)
+            jax.profiler.start_trace(self._trace_dir)
+            self._tracing = True
+
+    def section(self, name: str):
+        if self.mode == "simple":
+            return self.timer(name)
+        import contextlib
+
+        return contextlib.nullcontext()
+
+    def finish(self) -> None:
+        if self._tracing:
+            import jax
+
+            jax.profiler.stop_trace()
+            print("profiler trace written to", self._trace_dir)
+        if self.mode == "simple":
+            print(self.timer.summary())

@@ -30,6 +30,9 @@ def main():
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--config", default=None,
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
+    from interdiff_tpu.cli.common import add_profiler_args
+
+    add_profiler_args(parser)
     args = parser.parse_args()
     if args.config:
         from interdiff_tpu.data.paths import load_paths
@@ -91,14 +94,19 @@ def main():
         return batch_iterator(train, collate_skeleton,
                               batch_size=args.batch_size, rng=rng)
 
+    from interdiff_tpu.cli.common import TrainProfiler
+
+    prof = TrainProfiler(args, args.results_dir)
     i = 0
     for epoch in range(args.epochs if not args.synthetic else 1):
         for batch in epoch_batches():
-            batch = step.place_batch(
-                {k: jnp.asarray(v) for k, v in batch.items()})
+            with prof.section("batch_place"):
+                batch = step.place_batch(
+                    {k: jnp.asarray(v) for k, v in batch.items()})
             key, k_step = jax.random.split(key)
-            state, metrics = step(state, batch, k_step,
-                                  jnp.asarray(epoch, jnp.float32))
+            with prof.section("train_step"):
+                state, metrics = step(state, batch, k_step,
+                                      jnp.asarray(epoch, jnp.float32))
             if i % 10 == 0:
                 logger.log(i, {"loss": metrics["loss"]}, epoch=epoch)
                 print(f"step {i} loss {float(metrics['loss']):.4f}")
@@ -106,6 +114,7 @@ def main():
         if (epoch + 1) % 40 == 0 or args.synthetic:  # every-40-epochs ckpt
             ckpt.save(i, jax.device_get(state.params),
                       val_loss=float(metrics["loss"]))
+    prof.finish()
     ckpt.wait()
     logger.close()
     print("done:", i, "steps")

@@ -33,6 +33,9 @@ def main():
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--config", default=None,
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
+    from interdiff_tpu.cli.common import add_profiler_args
+
+    add_profiler_args(parser)
     args = parser.parse_args()
     if args.config:
         from interdiff_tpu.data.paths import load_paths
@@ -108,15 +111,20 @@ def main():
                               rng=rng)
 
     keep = ("obj_angles", "obj_trans", "markers", "human_verts", "obj_points")
+    from interdiff_tpu.cli.common import TrainProfiler
+
+    prof = TrainProfiler(args, args.results_dir)
     i = 0
     for epoch in range(args.epochs if not args.synthetic else 1):
         step = step_init if epoch < 10 and not args.synthetic else step_main
         for batch in epoch_batches():
-            batch = step.place_batch(
-                {k: jnp.asarray(batch[k]) for k in keep})
+            with prof.section("batch_place"):
+                batch = step.place_batch(
+                    {k: jnp.asarray(batch[k]) for k in keep})
             key, k_step = jax.random.split(key)
-            state, metrics = step(state, batch, k_step,
-                                  jnp.asarray(epoch, jnp.float32))
+            with prof.section("train_step"):
+                state, metrics = step(state, batch, k_step,
+                                      jnp.asarray(epoch, jnp.float32))
             if i % 10 == 0:
                 logger.log(i, {k: v for k, v in metrics.items()}, epoch=epoch)
                 print(f"step {i} loss {float(metrics['loss']):.4f}")
@@ -124,6 +132,7 @@ def main():
         if (epoch + 1) % 25 == 0 or args.synthetic:
             ckpt.save(i, jax.device_get(state.params),
                       val_loss=float(metrics["loss"]))
+    prof.finish()
     ckpt.wait()
     logger.close()
     print("done:", i, "steps")

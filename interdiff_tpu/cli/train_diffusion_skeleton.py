@@ -40,6 +40,9 @@ def main():
                              "for fast smoke validation)")
     parser.add_argument("--config", default=None,
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
+    from interdiff_tpu.cli.common import add_profiler_args
+
+    add_profiler_args(parser)
     args = parser.parse_args()
     if args.config:
         from interdiff_tpu.data.paths import load_paths
@@ -155,17 +158,23 @@ def main():
                 rng=rng, shuffle=False)))
 
     i = 0
+    from interdiff_tpu.cli.common import TrainProfiler
+
+    prof = TrainProfiler(args, args.results_dir)
     for epoch in range(args.epochs if not args.synthetic else 1):
         from interdiff_tpu.utils.prefetch import device_prefetch, threaded_batches
 
         def _placed():
             for b in threaded_batches(epoch_batches, num_workers=2):
-                yield b, step.place_batch(
-                    {k: jnp.asarray(v) for k, v in b.items()})
+                with prof.section("batch_place"):
+                    placed = step.place_batch(
+                        {k: jnp.asarray(v) for k, v in b.items()})
+                yield b, placed
 
         for batch_np_last, batch in _placed():
             key, k_step = jax.random.split(key)
-            state, metrics = step(state, batch, k_step)
+            with prof.section("train_step"):
+                state, metrics = step(state, batch, k_step)
             if i % 10 == 0:
                 logger.log(i, {"loss": metrics["loss"]}, epoch=epoch)
                 print(f"step {i} loss {float(metrics['loss']):.4f}")
@@ -180,6 +189,7 @@ def main():
             print(f"epoch {epoch} val {val_metrics}")
             ckpt.save(i, jax.device_get(state.params),
                       val_loss=val_metrics["mpjpe_h"])
+    prof.finish()
     ckpt.wait()
     logger.close()
     print("done:", i, "steps")

@@ -38,6 +38,9 @@ def main():
                              "for fast smoke validation)")
     parser.add_argument("--config", default=None,
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
+    from interdiff_tpu.cli.common import add_profiler_args
+
+    add_profiler_args(parser)
     args = parser.parse_args()
     if args.config:
         from interdiff_tpu.data.paths import load_paths
@@ -179,18 +182,24 @@ def main():
 
     keep = ("body_pose", "body_trans", "obj_angles", "obj_trans",
             "obj_points")
+    from interdiff_tpu.cli.common import TrainProfiler
+
+    prof = TrainProfiler(args, args.results_dir)
     i = 0
     for epoch in range(args.epochs if not args.synthetic else 1):
         from interdiff_tpu.utils.prefetch import threaded_batches
 
         def _placed():
             for b in threaded_batches(epoch_batches, num_workers=2):
-                yield b, step.place_batch(
-                    {k: jnp.asarray(b[k]) for k in keep})
+                with prof.section("batch_place"):
+                    placed = step.place_batch(
+                        {k: jnp.asarray(b[k]) for k in keep})
+                yield b, placed
 
         for batch_np, batch in _placed():
             key, k_step = jax.random.split(key)
-            state, metrics = step(state, batch, k_step)
+            with prof.section("train_step"):
+                state, metrics = step(state, batch, k_step)
             if i % 10 == 0:
                 logger.log(i, {"loss": metrics["loss"]}, epoch=epoch)
                 print(f"step {i} loss {float(metrics['loss']):.4f}")
@@ -203,6 +212,7 @@ def main():
             logger.log(i, {"val_loss": val_loss, **val_terms}, epoch=epoch)
             print(f"epoch {epoch} val_loss {val_loss:.4f}")
             ckpt.save(i, jax.device_get(state.params), val_loss=val_loss)
+    prof.finish()
     ckpt.wait()
     logger.close()
     print("done:", i, "steps")
