@@ -80,7 +80,15 @@ def main():
                     help="run the best-of-N eval every N training steps")
     ap.add_argument("--save_params", default=None,
                     help="save trained params (orbax) here")
+    ap.add_argument("--skip_untrained_eval", action="store_true",
+                    help="skip the pre-training eval (the eval graph is the "
+                         "big compile; training alone starts in minutes)")
     args = ap.parse_args()
+
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from interdiff_tpu.config import DiffusionConfig, SmplTrackConfig
     from interdiff_tpu.eval.metrics import smpl_metrics
@@ -156,10 +164,13 @@ def main():
         return {k2: float(v.mean()) for k2, v in best.items()}
 
     log = open(os.path.join(args.out, "metrics.jsonl"), "w")
-    t0 = time.time()
-    m0 = evaluate(state.params, jax.random.PRNGKey(100))
-    print(f"untrained ({time.time()-t0:.0f}s incl. compile):", m0, flush=True)
-    log.write(json.dumps({"step": 0, **m0}) + "\n")
+    m0 = None
+    if not args.skip_untrained_eval:
+        t0 = time.time()
+        m0 = evaluate(state.params, jax.random.PRNGKey(100))
+        print(f"untrained ({time.time()-t0:.0f}s incl. compile):", m0,
+              flush=True)
+        log.write(json.dumps({"step": 0, **m0}) + "\n")
 
     key = jax.random.PRNGKey(1)
     keep = ("body_pose", "body_trans", "obj_angles", "obj_trans",
@@ -181,23 +192,25 @@ def main():
     print(f"trained {args.steps} steps in {dt:.1f}s "
           f"({args.steps/dt:.1f} steps/s)", flush=True)
 
-    m1 = evaluate(state.params, jax.random.PRNGKey(100))
-    print("trained:", m1, flush=True)
-    log.write(json.dumps({"step": args.steps, "loss": float(metrics["loss"]),
-                          **m1}) + "\n")
-    imp = m0["global_mpjpe"] / max(m1["global_mpjpe"], 1e-9)
-    print(f"global_mpjpe improvement: {imp:.1f}x "
-          f"({m0['global_mpjpe']:.4f} -> {m1['global_mpjpe']:.4f})",
-          flush=True)
-    log.write(json.dumps({"improvement_x": imp}) + "\n")
-    log.close()
-
     if args.save_params:
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(args.save_params)
         ocp.StandardCheckpointer().save(path, jax.device_get(state.params))
         print("params saved to", path, flush=True)
+
+    m1 = evaluate(state.params, jax.random.PRNGKey(100))
+    print("trained:", m1, flush=True)
+    log.write(json.dumps({"step": args.steps, "loss": float(metrics["loss"]),
+                          **m1}) + "\n")
+    if m0 is not None:
+        imp = m0["global_mpjpe"] / max(m1["global_mpjpe"], 1e-9)
+        print(f"global_mpjpe improvement: {imp:.1f}x "
+              f"({m0['global_mpjpe']:.4f} -> {m1['global_mpjpe']:.4f})",
+              flush=True)
+        log.write(json.dumps({"improvement_x": imp}) + "\n")
+    log.close()
+
 
 
 if __name__ == "__main__":
