@@ -92,13 +92,16 @@ def measure_tpu() -> float:
         Bt = n_div * B
         mask_t = jnp.zeros((Bt, T, 144), bool).at[:, :T_PAST].set(True)
 
+        unroll = int(os.environ.get("INTERDIFF_BENCH_UNROLL", "1"))
+
         @jax.jit
         def sample_tiled(key, gt_t, memory_t):
             def model_fn(x, ts):
                 return model.apply(params, x, ts, memory_t)
 
             return diffusion.p_sample_loop(
-                model_fn, key, (Bt, T, 144), inpaint=Inpaint(mask_t, gt_t))
+                model_fn, key, (Bt, T, 144), inpaint=Inpaint(mask_t, gt_t),
+                unroll=unroll)
 
         memory = enc(gt, obj_points)
         memory_t = tile_for_diverse_samples(memory, n_div)
