@@ -83,6 +83,10 @@ def main():
     ap.add_argument("--skip_untrained_eval", action="store_true",
                     help="skip the pre-training eval (the eval graph is the "
                          "big compile; training alone starts in minutes)")
+    ap.add_argument("--restore_params", default=None,
+                    help="restore trained params (orbax flat save, e.g. "
+                         "artifacts/smpl_params) instead of starting fresh; "
+                         "combine with --steps 0 to evaluate a checkpoint")
     args = ap.parse_args()
 
     import jax as _jax
@@ -125,6 +129,12 @@ def main():
     params = model.init(jax.random.PRNGKey(0), gt0, ex["obj_points"],
                         jnp.zeros((2,), jnp.int32),
                         method=MDMSmpl.init_forward)
+    if args.restore_params:
+        import orbax.checkpoint as ocp
+
+        params = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.restore_params), target=params)
+        print("restored params from", args.restore_params, flush=True)
     state = TrainState.create(params, adamw(3e-4))
     step = jax.jit(make_smpl_train_step(model, diffusion),
                    donate_argnums=(0,))
@@ -201,8 +211,10 @@ def main():
 
     m1 = evaluate(state.params, jax.random.PRNGKey(100))
     print("trained:", m1, flush=True)
-    log.write(json.dumps({"step": args.steps, "loss": float(metrics["loss"]),
-                          **m1}) + "\n")
+    row = {"step": args.steps, **m1}
+    if args.steps:
+        row["loss"] = float(metrics["loss"])
+    log.write(json.dumps(row) + "\n")
     if m0 is not None:
         imp = m0["global_mpjpe"] / max(m1["global_mpjpe"], 1e-9)
         print(f"global_mpjpe improvement: {imp:.1f}x "
