@@ -74,7 +74,14 @@ def prepare_sequence(seq_dir: str, object_path: str, smpl_models: Dict, *,
     info = json.load(open(os.path.join(seq_dir, "info.json")))
     gender, obj_name = info["gender"], info["cat"]
 
-    mesh = load_mesh(os.path.join(object_path, f"{obj_name}/{obj_name}.obj"))
+    full = os.path.join(object_path, f"{obj_name}/{obj_name}.obj")
+    if not os.path.isfile(full):
+        # full scan absent -> simplified template (`data/utils.py:18-62`
+        # SIMPLIFIED_MESH map); the shipped snapshot only carries these
+        from interdiff_tpu.data.constants import SIMPLIFIED_MESH
+
+        full = os.path.join(object_path, SIMPLIFIED_MESH[obj_name])
+    mesh = load_mesh(full)
     verts_centered = mesh.vertices - mesh.vertices.mean(0)
     mesh.vertices = verts_centered
     pts, fidx = sample_surface(mesh, num_samples)
