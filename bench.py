@@ -92,6 +92,9 @@ def measure_tpu() -> float:
         Bt = n_div * B
         mask_t = jnp.zeros((Bt, T, 144), bool).at[:, :T_PAST].set(True)
 
+        # Scan unrolling measured on v5e: unroll=2 537.9 seq/s vs unroll=1
+        # 597.9-601.3 — unrolling inflates the program without reducing the
+        # per-step HBM traffic that bounds this scan, so 1 stays the default.
         unroll = int(os.environ.get("INTERDIFF_BENCH_UNROLL", "1"))
 
         @jax.jit

@@ -105,22 +105,56 @@ def snapshot_sources(results_dir: str, modules: "list[str]") -> None:
 def synthetic_smpl_body(rng: np.random.Generator, *, num_verts: int = 128,
                         num_joints: int = 52):
     """SMPL-H-shaped synthetic body model (real pkls are not shipped):
-    same array shapes and kinematic-tree depth, random-but-valid weights."""
+    same array shapes and kinematic-tree depth.
+
+    The template is a CLOSED watertight surface (Fibonacci-sphere ellipsoid
+    triangulated by its convex hull, 2V-4 faces — V=6890 gives exactly the
+    real SMPL-H's 13776) with spatially smooth skinning
+    weights (softmax over per-joint surface anchors), so that skinned
+    vertices stay a coherent surface and signed-distance/penetration
+    numbers behave like they do on a real body instead of an open sheet.
+    """
+    from scipy.spatial import ConvexHull
+
     from interdiff_tpu.smpl.model import SmplModel
 
     V, J = num_verts, num_joints
     parents = np.zeros(J, dtype=np.int64)
     for j in range(1, J):
         parents[j] = (j - 1) // 2
-    w = np.abs(rng.random((V, J)))
+
+    # Fibonacci sphere -> human-proportioned ellipsoid with smooth bumps
+    i = np.arange(V, dtype=np.float64)
+    phi = np.pi * (3.0 - np.sqrt(5.0)) * i
+    y = 1.0 - 2.0 * (i + 0.5) / V
+    r = np.sqrt(np.maximum(1.0 - y * y, 0.0))
+    unit = np.stack([r * np.cos(phi), y, r * np.sin(phi)], axis=1)
+    hull = ConvexHull(unit)
+    faces = hull.simplices.astype(np.int32)
+    # orient every triangle outward (hull simplices are unordered)
+    tri = unit[faces]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    flip = np.einsum("fi,fi->f", n, tri.mean(axis=1)) < 0
+    faces[flip] = faces[flip][:, [0, 2, 1]]
+
+    bump = 1.0 + 0.08 * np.sin(3.0 * phi + rng.random() * 6.28) \
+        * np.cos(2.0 * np.arccos(np.clip(y, -1, 1)))
+    v_template = (unit * bump[:, None]
+                  * np.array([0.25, 0.85, 0.15])).astype(np.float64)
+
+    # smooth weights: joints anchored on the surface, soft nearest-anchor
+    anchors = v_template[rng.choice(V, size=J, replace=V < J)]
+    d2 = ((v_template[:, None] - anchors[None]) ** 2).sum(-1)
+    w = np.exp(-d2 / 0.02)
+    w /= w.sum(1, keepdims=True)
+    jr = np.exp(-d2.T / 0.005)
+    jr /= jr.sum(1, keepdims=True)
+
     return SmplModel.create(
-        v_template=rng.standard_normal((V, 3)) * 0.3,
+        v_template=v_template,
         shapedirs=rng.standard_normal((V, 3, 10)) * 0.01,
         posedirs=rng.standard_normal((V, 3, 9 * (J - 1))) * 0.001,
-        j_regressor=np.abs(rng.random((J, V)))
-        / np.abs(rng.random((J, V))).sum(1, keepdims=True),
-        weights=w / w.sum(1, keepdims=True), parents=parents,
-        faces=np.array([[0, 1, 2], [1, 2, 3]], dtype=np.int32))
+        j_regressor=jr, weights=w, parents=parents, faces=faces)
 
 
 def add_profiler_args(parser) -> None:

@@ -43,6 +43,10 @@ def main():
     parser.add_argument("--synthetic", type=int, default=0,
                         help="roll out N synthetic batches with a synthetic "
                              "SMPL body (no datasets/pkls needed)")
+    parser.add_argument("--synthetic_body", action="store_true",
+                        help="REAL motion data from --motion_path with the "
+                             "synthetic stand-in body (SMPLH pkls are not "
+                             "shipped in this image)")
     args = parser.parse_args()
     if args.config:
         from interdiff_tpu.data.paths import load_paths
@@ -50,9 +54,10 @@ def main():
         _paths = load_paths(args.config)
         args.motion_path = args.motion_path or _paths.motion_path
         args.model_path = args.model_path or _paths.model_path
-    if not args.synthetic and not (args.motion_path and args.model_path):
+    if not args.synthetic and not (
+            args.motion_path and (args.model_path or args.synthetic_body)):
         parser.error("--motion_path and --model_path are required "
-                     "(or use --synthetic N)")
+                     "(or use --synthetic N / --synthetic_body)")
 
     from interdiff_tpu.cli.common import batch_iterator, seed_everything
     from interdiff_tpu.config import SmplTrackConfig
@@ -86,6 +91,11 @@ def main():
         from interdiff_tpu.cli.common import synthetic_smpl_body
 
         smpl = synthetic_smpl_body(rng)
+        smpl_models = {"male": smpl, "female": smpl}
+    elif args.synthetic_body:
+        from interdiff_tpu.cli.common import synthetic_smpl_body
+
+        smpl = synthetic_smpl_body(np.random.default_rng(0), num_verts=6890)
         smpl_models = {"male": smpl, "female": smpl}
     else:
         smpl_models = {
@@ -130,6 +140,11 @@ def main():
     else:
         seqs = load_behave_sequences(args.motion_path,
                                      smpl_models=smpl_models, mode="test")
+        if not seqs:
+            print("no Date03* test sequences under", args.motion_path,
+                  "- evaluating on the train split")
+            seqs = load_behave_sequences(args.motion_path,
+                                         smpl_models=smpl_models, mode="train")
         ds = BehaveDataset(seqs, past_len=args.past_len,
                            future_len=args.future_len, rng=rng)
         loader = batch_iterator(ds, collate, batch_size=args.batch_size,

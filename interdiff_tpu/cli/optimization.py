@@ -28,6 +28,10 @@ def main():
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
     parser.add_argument("--synthetic", type=int, default=0,
                         help="refine N synthetic clips (no data needed)")
+    parser.add_argument("--synthetic_body", action="store_true",
+                        help="REAL motion data from --motion_path with the "
+                             "synthetic stand-in body (SMPLH pkls are not "
+                             "shipped in this image)")
     args = parser.parse_args()
     if args.config:
         from interdiff_tpu.data.paths import load_paths
@@ -35,7 +39,8 @@ def main():
         _paths = load_paths(args.config)
         args.motion_path = args.motion_path or _paths.motion_path
         args.model_path = args.model_path or _paths.model_path
-    if not args.synthetic and not (args.motion_path and args.model_path):
+    if not args.synthetic and not (
+            args.motion_path and (args.model_path or args.synthetic_body)):
         parser.error("--motion_path and --model_path (or --config) required")
 
     from interdiff_tpu.data.behave import BehaveDataset, load_behave_sequences
@@ -46,13 +51,24 @@ def main():
         _run_synthetic(args)
         return
 
-    smpl_models = {
-        g: smpl_model_from_pkl(os.path.join(args.model_path,
-                                            f"SMPLH_{g}.pkl"))
-        for g in ("male", "female")
-    }
+    if args.synthetic_body:
+        from interdiff_tpu.cli.common import synthetic_smpl_body
+
+        body = synthetic_smpl_body(np.random.default_rng(0), num_verts=6890)
+        smpl_models = {"male": body, "female": body}
+    else:
+        smpl_models = {
+            g: smpl_model_from_pkl(os.path.join(args.model_path,
+                                                f"SMPLH_{g}.pkl"))
+            for g in ("male", "female")
+        }
     seqs = load_behave_sequences(args.motion_path, smpl_models=smpl_models,
                                  mode="test")
+    if not seqs:
+        print("no Date03* test sequences under", args.motion_path,
+              "- refining the train split")
+        seqs = load_behave_sequences(args.motion_path,
+                                     smpl_models=smpl_models, mode="train")
     ds = BehaveDataset(seqs, past_len=args.past_len,
                        future_len=args.future_len)
     os.makedirs(args.out_dir, exist_ok=True)

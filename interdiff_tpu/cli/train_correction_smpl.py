@@ -31,6 +31,10 @@ def main():
     parser.add_argument("--future_len", type=int, default=25)
     parser.add_argument("--seed", type=int, default=233)
     parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--synthetic_body", action="store_true",
+                        help="REAL motion data from --motion_path with the "
+                             "synthetic stand-in body (SMPLH pkls are not "
+                             "shipped in this image)")
     parser.add_argument("--config", default=None,
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
     from interdiff_tpu.cli.common import add_profiler_args
@@ -43,8 +47,10 @@ def main():
         _paths = load_paths(args.config)
         args.motion_path = args.motion_path or _paths.motion_path
         args.model_path = args.model_path or _paths.model_path
-    if not args.synthetic and not (args.motion_path and args.model_path):
-        parser.error("--motion_path and --model_path are required unless --synthetic is set")
+    if not args.synthetic and not (
+            args.motion_path and (args.model_path or args.synthetic_body)):
+        parser.error("--motion_path and --model_path are required unless "
+                     "--synthetic or --synthetic_body is set")
 
     from interdiff_tpu.cli.common import (
         batch_iterator,
@@ -96,13 +102,20 @@ def main():
             collate,
             load_behave_sequences,
         )
-        from interdiff_tpu.smpl.loader import smpl_model_from_pkl
+        if args.synthetic_body:
+            from interdiff_tpu.cli.common import synthetic_smpl_body
 
-        smpl_models = {
-            g: smpl_model_from_pkl(os.path.join(args.model_path,
-                                                f"SMPLH_{g}.pkl"))
-            for g in ("male", "female")
-        }
+            body = synthetic_smpl_body(np.random.default_rng(0),
+                                       num_verts=6890)
+            smpl_models = {"male": body, "female": body}
+        else:
+            from interdiff_tpu.smpl.loader import smpl_model_from_pkl
+
+            smpl_models = {
+                g: smpl_model_from_pkl(os.path.join(args.model_path,
+                                                    f"SMPLH_{g}.pkl"))
+                for g in ("male", "female")
+            }
         seqs = load_behave_sequences(args.motion_path,
                                      smpl_models=smpl_models, mode="train")
         ds = BehaveDataset(seqs, past_len=args.past_len,

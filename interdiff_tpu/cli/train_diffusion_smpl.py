@@ -31,6 +31,11 @@ def main():
     parser.add_argument("--resume_checkpoint", default=None,
                         help="orbax ckpt dir to resume params from")
     parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--synthetic_body", action="store_true",
+                        help="load REAL motion npz from --motion_path but "
+                             "stand in the synthetic SMPL body for the "
+                             "unshipped SMPLH pkls (poses/trans/obj pose and "
+                             "the object point cloud stay real)")
     parser.add_argument("--val_every", type=int, default=50)
     parser.add_argument("--val_respacing", default="",
                         help="timestep respacing for the validation sampler "
@@ -48,8 +53,10 @@ def main():
         _paths = load_paths(args.config)
         args.motion_path = args.motion_path or _paths.motion_path
         args.model_path = args.model_path or _paths.model_path
-    if not args.synthetic and not (args.motion_path and args.model_path):
-        parser.error("--motion_path and --model_path are required unless --synthetic is set")
+    if not args.synthetic and not (
+            args.motion_path and (args.model_path or args.synthetic_body)):
+        parser.error("--motion_path and --model_path are required unless "
+                     "--synthetic or --synthetic_body is set")
 
     from interdiff_tpu.cli.common import (
         batch_iterator,
@@ -153,13 +160,20 @@ def main():
             collate,
             load_behave_sequences,
         )
-        from interdiff_tpu.smpl.loader import smpl_model_from_pkl
+        if args.synthetic_body:
+            from interdiff_tpu.cli.common import synthetic_smpl_body
 
-        smpl_models = {
-            g: smpl_model_from_pkl(os.path.join(args.model_path,
-                                                f"SMPLH_{g}.pkl"))
-            for g in ("male", "female")
-        }
+            body = synthetic_smpl_body(np.random.default_rng(0),
+                                       num_verts=6890)
+            smpl_models = {"male": body, "female": body}
+        else:
+            from interdiff_tpu.smpl.loader import smpl_model_from_pkl
+
+            smpl_models = {
+                g: smpl_model_from_pkl(os.path.join(args.model_path,
+                                                    f"SMPLH_{g}.pkl"))
+                for g in ("male", "female")
+            }
         seqs = load_behave_sequences(args.motion_path,
                                      smpl_models=smpl_models, mode="train")
         ds = BehaveDataset(seqs, past_len=args.past_len,

@@ -87,6 +87,11 @@ def main():
                     help="restore trained params (orbax flat save, e.g. "
                          "artifacts/smpl_params) instead of starting fresh; "
                          "combine with --steps 0 to evaluate a checkpoint")
+    ap.add_argument("--mode", default="correction",
+                    choices=["correction", "no_correction"],
+                    help="A/B the physics-informed correction: no_correction "
+                         "drops the in-scan projector (same noise keys, so "
+                         "the two runs are directly comparable)")
     args = ap.parse_args()
 
     import jax as _jax
@@ -119,8 +124,9 @@ def main():
 
     rng = np.random.default_rng(233)
     smpl = synthetic_smpl_model(rng)
-    projector = ObjProjectorSmpl()
-    projector_params, _ = load_correction_smpl()
+    use_corr = args.mode == "correction"
+    projector = ObjProjectorSmpl() if use_corr else None
+    projector_params = load_correction_smpl()[0] if use_corr else None
 
     P = args.points
     ex = make_batch(rng, 2, P=P)
@@ -141,7 +147,7 @@ def main():
 
     sample = jax.jit(make_sampler(
         cfg, model, diffusion, smpl=smpl, projector=projector,
-        projector_params=projector_params, use_correction=True,
+        projector_params=projector_params, use_correction=use_corr,
         reuse_memory=True))
     encode = jax.jit(lambda p, g, pts: model.apply(p, g, pts,
                                                    method=MDMSmpl.encode))
