@@ -176,8 +176,11 @@ def main():
             }
         seqs = load_behave_sequences(args.motion_path,
                                      smpl_models=smpl_models, mode="train")
+        # diffusion training reads only the pose streams + the point-cloud
+        # template; skip building per-vertex tensors on the one-core host
         ds = BehaveDataset(seqs, past_len=args.past_len,
-                           future_len=args.future_len, rng=rng)
+                           future_len=args.future_len, rng=rng,
+                           fields="light")
 
         def epoch_batches():
             return batch_iterator(ds, collate, batch_size=args.batch_size,
@@ -187,7 +190,8 @@ def main():
             test_ds = BehaveDataset(
                 load_behave_sequences(args.motion_path,
                                       smpl_models=smpl_models, mode="test"),
-                past_len=args.past_len, future_len=args.future_len, rng=rng)
+                past_len=args.past_len, future_len=args.future_len, rng=rng,
+                fields="light")
             val_batch_np = next(iter(batch_iterator(
                 test_ds, collate, batch_size=args.batch_size, rng=rng,
                 shuffle=False)))

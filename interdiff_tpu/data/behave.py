@@ -57,7 +57,7 @@ def canonicalize_clip(
     pelvis: np.ndarray,  # [T, 3]
     obj_angles: np.ndarray,  # [T, 3]
     obj_trans: np.ndarray,  # [T, 3]
-    human_verts: np.ndarray,  # [T, V, 6] xyz + normals (world space)
+    human_verts: Optional[np.ndarray],  # [T, V, 6] xyz + normals (world)
     obj_points: np.ndarray,  # [P, 6] template xyz + normals
     obj_contact_idx: Sequence[np.ndarray],  # per-frame contact point indices
     human_contact_idx: Sequence[np.ndarray],  # per-frame contact vert indices
@@ -65,6 +65,7 @@ def canonicalize_clip(
     right_foot: np.ndarray,
     frame_indices: np.ndarray,  # [T] raw indices of the clip frames
     ground_joint_label_first: int,  # raw label (10/11) for frame 0 fallback
+    heavy: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Canonicalize one clip exactly like `dataset_smpl.py:106-189`.
 
@@ -74,9 +75,15 @@ def canonicalize_clip(
       obj_angles [T,3], obj_trans [T,3], human_verts [T,V,7],
       markers [T,67,7], obj_points_frames [T,P,7], ground_joint_label [T,2],
       plus 'rotation'/'rotation_v'/'centroid'.
+
+    ``heavy=False`` skips the per-vertex/per-point products (human_verts,
+    markers, obj_points_frames) — diffusion training consumes only the pose
+    streams, and on a one-core host building ~9 MB of unused arrays per
+    clip dominates the step time (the reference always builds everything
+    and hides it behind 4 DataLoader workers).
     """
     T = poses.shape[0]
-    V = human_verts.shape[1]
+    V = human_verts.shape[1] if heavy else 0
     P = obj_points.shape[0]
 
     centroid = pelvis[0].astype(np.float32).copy()
@@ -88,7 +95,7 @@ def canonicalize_clip(
     out_obj_angles = obj_angles.astype(np.float32).copy()
     out_obj_trans = obj_trans.astype(np.float32).copy()
     out_verts = np.zeros((T, V, 7), dtype=np.float32)
-    out_obj_points = np.zeros((T, P, 7), dtype=np.float32)
+    out_obj_points = np.zeros((T, P, 7), dtype=np.float32) if heavy else None
     ground = np.zeros((T, 2), dtype=np.float32)
 
     Rt = rotation.T  # applied as x @ Rt
@@ -100,23 +107,26 @@ def canonicalize_clip(
         out_trans[i] = (tr + pelvis_original) @ Rt - pelvis_original
         out_pelvis[i] = pv @ Rt
 
-        v = human_verts[i, :, :3].astype(np.float32) - centroid
-        out_verts[i, :, :3] = v @ Rt
-        out_verts[i, :, 3:6] = human_verts[i, :, 3:6].astype(np.float32) @ Rt
-
         out_pose[i, :3] = rotvec_compose_np(rotation, out_pose[i, :3])
 
         out_obj_trans[i] = (out_obj_trans[i] - centroid) @ Rt
         out_obj_angles[i] = rotvec_compose_np(rotation, out_obj_angles[i])
 
-        rot = rotvec_to_matrix_np(out_obj_angles[i].astype(np.float64)
-                                  ).astype(np.float32)
-        out_obj_points[i, :, :3] = (obj_points[:, :3].astype(np.float32)
-                                    @ rot.T + out_obj_trans[i])
-        out_obj_points[i, :, 3:6] = obj_points[:, 3:6].astype(np.float32) @ rot.T
-        out_obj_points[i, obj_contact_idx[i], 6] = 1.0
+        if heavy:
+            v = human_verts[i, :, :3].astype(np.float32) - centroid
+            out_verts[i, :, :3] = v @ Rt
+            out_verts[i, :, 3:6] = (human_verts[i, :, 3:6]
+                                    .astype(np.float32) @ Rt)
 
-        out_verts[i, human_contact_idx[i], 6] = 1.0
+            rot = rotvec_to_matrix_np(out_obj_angles[i].astype(np.float64)
+                                      ).astype(np.float32)
+            out_obj_points[i, :, :3] = (obj_points[:, :3].astype(np.float32)
+                                        @ rot.T + out_obj_trans[i])
+            out_obj_points[i, :, 3:6] = (obj_points[:, 3:6]
+                                         .astype(np.float32) @ rot.T)
+            out_obj_points[i, obj_contact_idx[i], 6] = 1.0
+
+            out_verts[i, human_contact_idx[i], 6] = 1.0
 
         raw_i = int(frame_indices[i])
         if raw_i > 0:
@@ -127,23 +137,23 @@ def canonicalize_clip(
         else:
             ground[i, ground_joint_label_first - 10] = 1.0
 
-    markers = out_verts[:, MARKERSET_SSM67_SMPLH, :]
-
-    return {
+    out = {
         "body_pose": out_pose,
         "body_betas": betas.astype(np.float32),
         "body_trans": out_trans,
         "pelvis": out_pelvis,
         "obj_angles": out_obj_angles,
         "obj_trans": out_obj_trans,
-        "human_verts": out_verts,
-        "markers": markers,
-        "obj_points_frames": out_obj_points,
         "ground_joint_label": ground,
         "centroid": centroid,
         "rotation": rotation,
         "rotation_v": rotation_v,
     }
+    if heavy:
+        out["human_verts"] = out_verts
+        out["markers"] = out_verts[:, MARKERSET_SSM67_SMPLH, :]
+        out["obj_points_frames"] = out_obj_points
+    return out
 
 
 @dataclass
@@ -186,11 +196,15 @@ class BehaveDataset:
     def __init__(self, sequences: Sequence[BehaveSequence], *,
                  past_len: int = 10, future_len: int = 25,
                  sample_rate: int = 1,
-                 rng: Optional[np.random.Generator] = None):
+                 rng: Optional[np.random.Generator] = None,
+                 fields: str = "full"):
+        if fields not in ("full", "light"):
+            raise ValueError("fields must be 'full' or 'light'")
         self.sequences = list(sequences)
         self.past_len = past_len
         self.future_len = future_len
         self.sample_rate = sample_rate
+        self.fields = fields
         self.rng = rng or np.random.default_rng(233)
         self.idx2frame: List[Tuple[int, int, int]] = []
         fragment = (past_len + future_len) * sample_rate
@@ -213,6 +227,7 @@ class BehaveDataset:
         T = self.past_len + self.future_len
         frames = np.arange(start, start + T * self.sample_rate,
                            self.sample_rate)
+        heavy = self.fields == "full"
         clip = canonicalize_clip(
             poses=seq.poses[frames],
             betas=seq.betas[frames],
@@ -220,7 +235,7 @@ class BehaveDataset:
             pelvis=seq.pelvis[frames],
             obj_angles=seq.obj_angles[frames],
             obj_trans=seq.obj_trans[frames],
-            human_verts=seq.human_verts[frames],
+            human_verts=seq.human_verts[frames] if heavy else None,
             obj_points=seq.obj_points,
             obj_contact_idx=[seq.obj_contact_idx[i] for i in frames],
             human_contact_idx=[seq.human_contact_idx[i] for i in frames],
@@ -228,6 +243,7 @@ class BehaveDataset:
             right_foot=seq.right_foot,
             frame_indices=frames,
             ground_joint_label_first=int(seq.ground_joint_label[start]),
+            heavy=heavy,
         )
         clip["obj_points"] = seq.obj_points.astype(np.float32)
         clip["gender"] = np.int32(0 if seq.gender == "male" else 1)

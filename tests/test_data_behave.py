@@ -132,3 +132,15 @@ def test_dataset_windows_and_collate(rng):
     assert batch["body_pose"].shape == (2, 35, 156)
     assert batch["obj_points_frames"].shape == (2, 35, P, 7)
     assert batch["gender"].shape == (2,)
+
+    # light mode: identical pose streams, no per-vertex tensors built
+    ds_light = BehaveDataset([seq], past_len=10, future_len=25,
+                             sample_rate=1, fields="light")
+    ds.rng = np.random.default_rng(5)
+    ds_light.rng = np.random.default_rng(5)
+    full, light = ds[0], ds_light[0]
+    for k in ("body_pose", "body_trans", "obj_angles", "obj_trans",
+              "pelvis", "ground_joint_label", "obj_points"):
+        np.testing.assert_array_equal(full[k], light[k])
+    for k in ("human_verts", "markers", "obj_points_frames"):
+        assert k not in light
