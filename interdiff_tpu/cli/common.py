@@ -24,6 +24,18 @@ def make_mesh(data_axis: str = "data"):
 
 
 def seed_everything(seed: int = 233) -> np.random.Generator:
+    """Seed numpy and enable the persistent XLA compilation cache.
+
+    Every CLI goes through here; over the axon TPU tunnel a cold compile of
+    the sampling/training graphs takes 10-30 min, and the on-disk cache
+    (INTERDIFF_COMPILE_CACHE, default /tmp/jax_cache) turns relaunches into
+    seconds."""
+    import jax
+
+    cache = os.environ.get("INTERDIFF_COMPILE_CACHE", "/tmp/jax_cache")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     np.random.seed(seed)
     return np.random.default_rng(seed)
 
