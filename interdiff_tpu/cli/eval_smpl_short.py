@@ -154,8 +154,11 @@ def main():
                   "- evaluating on the train split")
             seqs = load_behave_sequences(args.motion_path,
                                          smpl_models=smpl_models, mode="train")
+        # the eval loop consumes only pose streams + the point-cloud
+        # template (contacts are recomputed in-scan) -> light fields
         ds = BehaveDataset(seqs, past_len=args.past_len,
-                           future_len=args.future_len, rng=rng)
+                           future_len=args.future_len, rng=rng,
+                           fields="light")
         loader = batch_iterator(ds, collate, batch_size=args.batch_size,
                                 rng=rng, shuffle=False)
 
