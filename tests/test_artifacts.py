@@ -81,3 +81,36 @@ def test_smpl_artifact_restores_and_runs():
     x0 = model.apply(params, gt, jnp.zeros((B,), jnp.int32), memory)
     assert x0.shape == (B, T, 144)
     assert np.isfinite(np.asarray(x0)).all()
+
+
+SMPL_REAL = os.path.join(ROOT, "artifacts", "smpl_real_params")
+
+
+@pytest.mark.skipif(not os.path.isdir(SMPL_REAL),
+                    reason="artifacts/smpl_real_params not present")
+def test_smpl_real_data_artifact_restores_and_runs():
+    """The checkpoint trained on the REAL shipped BEHAVE sequence."""
+    import orbax.checkpoint as ocp
+
+    from interdiff_tpu.config import SmplTrackConfig
+    from interdiff_tpu.models.mdm_smpl import MDMSmpl
+
+    track = SmplTrackConfig()
+    model = track.build_model()
+    B, T, P = 2, track.past_len + track.future_len, 64
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.standard_normal((B, T, 144)), jnp.float32)
+    pts = jnp.asarray(rng.standard_normal((B, P, 6)), jnp.float32)
+
+    template = model.init(jax.random.PRNGKey(0), gt, pts,
+                          jnp.zeros((B,), jnp.int32),
+                          method=MDMSmpl.init_forward)
+    params = ocp.StandardCheckpointer().restore(SMPL_REAL, target=template)
+    assert any(not np.allclose(a, b)
+               for a, b in zip(jax.tree.leaves(template),
+                               jax.tree.leaves(params)))
+
+    memory = model.apply(params, gt, pts, method=MDMSmpl.encode)
+    x0 = model.apply(params, gt, jnp.zeros((B,), jnp.int32), memory)
+    assert x0.shape == (B, T, 144)
+    assert np.isfinite(np.asarray(x0)).all()
