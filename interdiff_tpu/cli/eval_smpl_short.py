@@ -137,6 +137,20 @@ def main():
         reuse_memory=True, sampler=args.sampler))
     encode = jax.jit(lambda p, g, pts: model.apply(p, g, pts,
                                                    method=MDMSmpl.encode))
+    # jit the FK postprocess + metrics: op-by-op dispatch of the 6890-vert
+    # FK/penetration math over the axon tunnel is minutes per batch eager
+    post = jax.jit(lambda x, hand, betas: postprocess_sample(
+        cfg, smpl, x, hand, betas))
+    faces_j = jnp.asarray(smpl.faces)
+
+    @jax.jit
+    def metrics_fn(out, gt_post, obj_pts3):
+        pp = args.past_len
+        return smpl_metrics(
+            out["obj_pred"][:, pp:], out["jtr"][:, pp:],
+            out["body_pred"][:, pp:], gt_post["obj_pred"][:, pp:],
+            gt_post["jtr"][:, pp:], gt_post["body_pred"][:, pp:],
+            out["verts"][:, pp:], faces_j, obj_pts3)
 
     if args.synthetic:
         from interdiff_tpu.cli.common import synthetic_smpl_batches
@@ -192,18 +206,13 @@ def main():
             gt, obj_points6, hand, betas, memory = (
                 tile_for_diverse_samples(a, n_fold)
                 for a in (gt, obj_points6, hand, betas, memory))
-        gt_post = postprocess_sample(cfg, smpl, gt, hand, betas)
+        gt_post = post(gt, hand, betas)
         best = None
         for j in range(args.diverse_samples // n_fold):
             key, k = jax.random.split(key)
             x = sample(params, k, gt, obj_points6, hand, betas, memory)
-            out = postprocess_sample(cfg, smpl, x, hand, betas)
-            m = smpl_metrics(
-                out["obj_pred"][:, p:], out["jtr"][:, p:],
-                out["body_pred"][:, p:], gt_post["obj_pred"][:, p:],
-                gt_post["jtr"][:, p:], gt_post["body_pred"][:, p:],
-                out["verts"][:, p:], jnp.asarray(smpl.faces),
-                obj_points6[..., :3])
+            out = post(x, hand, betas)
+            m = metrics_fn(out, gt_post, obj_points6[..., :3])
             m = {k2: np.asarray(split_diverse_samples(
                 jnp.asarray(v), n_fold)).min(axis=0) for k2, v in m.items()}
             best = m if best is None else {

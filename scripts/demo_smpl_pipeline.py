@@ -158,22 +158,31 @@ def main():
                               val["obj_angles"], val["obj_trans"])
     hand = val["body_pose"][..., 66:]
 
+    # jitted FK postprocess + metrics (eager 6890-vert FK over the axon
+    # tunnel dispatches op-by-op and takes minutes per eval)
+    post = jax.jit(lambda x, hand, betas: postprocess_sample(
+        cfg, smpl, x, hand, betas))
+    faces_j = jnp.asarray(smpl.faces)
+
+    @jax.jit
+    def metrics_fn(out, gt_post, obj_pts3):
+        pp = cfg.past_len
+        return smpl_metrics(
+            out["obj_pred"][:, pp:], out["jtr"][:, pp:],
+            out["body_pred"][:, pp:], gt_post["obj_pred"][:, pp:],
+            gt_post["jtr"][:, pp:], gt_post["body_pred"][:, pp:],
+            out["verts"][:, pp:], faces_j, obj_pts3)
+
     def evaluate(params, key):
-        gt_post = postprocess_sample(cfg, smpl, val_gt, hand, val["betas"])
+        gt_post = post(val_gt, hand, val["betas"])
         memory = encode(params, val_gt, val["obj_points"])
         best = None
         for j in range(args.diverse):
             key, k = jax.random.split(key)
             x = sample(params, k, val_gt, val["obj_points"], hand,
                        val["betas"], memory)
-            out = postprocess_sample(cfg, smpl, x, hand, val["betas"])
-            p = cfg.past_len
-            m = smpl_metrics(
-                out["obj_pred"][:, p:], out["jtr"][:, p:],
-                out["body_pred"][:, p:], gt_post["obj_pred"][:, p:],
-                gt_post["jtr"][:, p:], gt_post["body_pred"][:, p:],
-                out["verts"][:, p:], jnp.asarray(smpl.faces),
-                val["obj_points"][..., :3])
+            out = post(x, hand, val["betas"])
+            m = metrics_fn(out, gt_post, val["obj_points"][..., :3])
             m = {k2: np.asarray(v) for k2, v in m.items()}
             best = m if best is None else {k2: np.minimum(best[k2], m[k2])
                                            for k2 in m}
