@@ -128,7 +128,9 @@ def main():
         projector_params=projector_params,
         use_correction=args.mode == "correction")), params)
 
+    @jax.jit
     def pelvis_fn(x, hand, betas):
+        # jitted: eager FK dispatches op-by-op over the TPU tunnel
         return postprocess_sample(cfg, smpl, x, hand, betas)["pelvis"]
 
     if args.synthetic:
