@@ -143,7 +143,9 @@ def main():
                 print(f"step {i} loss {float(metrics['loss']):.4f}")
             i += 1
         if (epoch + 1) % 25 == 0 or args.synthetic:
-            ckpt.save(i, jax.device_get(state.params),
+            ckpt.save(i, jax.device_get(
+                {"params": state.params,
+                 "batch_stats": state.batch_stats}),
                       val_loss=float(metrics["loss"]))
     prof.finish()
     ckpt.wait()
