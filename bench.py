@@ -44,8 +44,11 @@ def measure_tpu() -> float:
     # (params + activations; DDPM math stays f32) — the MXU-native mode
     bf16 = os.environ.get("INTERDIFF_BENCH_BF16") == "1"
     model = MDMSmpl(dtype=jnp.bfloat16 if bf16 else None)
+    # INTERDIFF_BENCH_RESPACING overrides the schedule (e.g. "ddim50",
+    # "50") — DDIM at 50 kept steps halves the scan length
+    respacing = os.environ.get("INTERDIFF_BENCH_RESPACING", str(STEPS))
     diffusion = GaussianDiffusion.create_named(
-        steps=1000, timestep_respacing=str(STEPS))
+        steps=1000, timestep_respacing=respacing)
 
     rng = np.random.default_rng(233)
     gt = jnp.asarray(rng.standard_normal((B, T, 144)).astype(np.float32))
