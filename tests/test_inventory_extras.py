@@ -89,3 +89,34 @@ def test_get_body_model_factory(tmp_path, rng):
     model = get_body_model(tmp_path, "smplh", "male", num_betas=4)
     assert model.v_template.shape == (30, 3)
     assert model.parents.shape == (5,)
+
+
+def test_synthetic_body_is_closed_and_signed():
+    """The stand-in body (`cli/common.synthetic_smpl_body`) must be a
+    watertight oriented surface so signed-distance/penetration metrics
+    behave like the real SMPL-H: every edge shared by exactly two faces,
+    outward normals (positive distance outside, negative at the center),
+    and V=6890 giving exactly the real 13776 faces (2V-4)."""
+    import collections
+
+    import numpy as np
+
+    from interdiff_tpu.cli.common import synthetic_smpl_body
+    from interdiff_tpu.ops.mesh_distance import signed_distance_to_mesh
+
+    body = synthetic_smpl_body(np.random.default_rng(0), num_verts=6890)
+    faces = np.asarray(body.faces)
+    verts = np.asarray(body.v_template, np.float32)
+    assert faces.shape == (13776, 3)
+
+    cnt = collections.Counter()
+    for tri in faces:
+        for a, b in ((tri[0], tri[1]), (tri[1], tri[2]), (tri[2], tri[0])):
+            cnt[(min(a, b), max(a, b))] += 1
+    assert set(cnt.values()) == {2}
+
+    probes = np.array([[5, 0, 0], [0, 5, 0], [0, 0, 5], [0, 0, 0]],
+                      np.float32)
+    d, _, _ = signed_distance_to_mesh(probes, verts, faces)
+    d = np.asarray(d)
+    assert (d[:3] > 0).all() and d[3] < 0
