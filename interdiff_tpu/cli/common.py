@@ -169,6 +169,49 @@ def synthetic_smpl_body(rng: np.random.Generator, *, num_verts: int = 128,
         j_regressor=jr, weights=w, parents=parents, faces=faces)
 
 
+def load_smpl_models(args) -> Dict[str, object]:
+    """SMPL models for the real-data CLIs: the SMPLH pkls from
+    ``--model_path``, or (``--synthetic_body``) the closed stand-in body for
+    the unshipped pkls — one shared definition for all five SMPL CLIs."""
+    if getattr(args, "synthetic_body", False):
+        body = synthetic_smpl_body(np.random.default_rng(0), num_verts=6890)
+        return {"male": body, "female": body}
+    import os as _os
+
+    from interdiff_tpu.smpl.loader import smpl_model_from_pkl
+
+    return {
+        g: smpl_model_from_pkl(_os.path.join(args.model_path,
+                                             f"SMPLH_{g}.pkl"))
+        for g in ("male", "female")
+    }
+
+
+def load_eval_sequences(motion_path: str, smpl_models, mode: str = "test"):
+    """Load the eval split with a train-split fallback for partial corpora
+    (e.g. the shipped sample sequence has no Date03* test sequences)."""
+    from interdiff_tpu.data.behave import load_behave_sequences
+
+    seqs = load_behave_sequences(motion_path, smpl_models=smpl_models,
+                                 mode=mode)
+    if not seqs and mode == "test":
+        print("no Date03* test sequences under", motion_path,
+              "- falling back to the train split")
+        seqs = load_behave_sequences(motion_path, smpl_models=smpl_models,
+                                     mode="train")
+    return seqs
+
+
+def fit_batch_size(num_clips: int, batch_size: int) -> int:
+    """Shrink the batch to the corpus so drop_last batching cannot silently
+    yield zero batches on a small staged corpus."""
+    if 0 < num_clips < batch_size:
+        print(f"only {num_clips} clip windows; shrinking batch "
+              f"{batch_size} -> {num_clips}")
+        return num_clips
+    return batch_size
+
+
 def add_profiler_args(parser) -> None:
     """`--profiler` / `--debug_nan` on every trainer, mirroring the
     reference's Simple/AdvancedProfiler flag (`train_diffusion_smpl.py:585,

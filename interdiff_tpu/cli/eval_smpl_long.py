@@ -74,7 +74,6 @@ def main():
     )
     from interdiff_tpu.models.correction import ObjProjectorSmpl
     from interdiff_tpu.models.mdm_smpl import MDMSmpl, smpl_gt_from_raw
-    from interdiff_tpu.smpl.loader import smpl_model_from_pkl
     from interdiff_tpu.smpl.model import smpl_forward
 
     rng = seed_everything(args.seed)
@@ -92,17 +91,10 @@ def main():
 
         smpl = synthetic_smpl_body(rng)
         smpl_models = {"male": smpl, "female": smpl}
-    elif args.synthetic_body:
-        from interdiff_tpu.cli.common import synthetic_smpl_body
-
-        smpl = synthetic_smpl_body(np.random.default_rng(0), num_verts=6890)
-        smpl_models = {"male": smpl, "female": smpl}
     else:
-        smpl_models = {
-            g: smpl_model_from_pkl(os.path.join(args.model_path,
-                                                f"SMPLH_{g}.pkl"))
-            for g in ("male", "female")
-        }
+        from interdiff_tpu.cli.common import load_smpl_models
+
+        smpl_models = load_smpl_models(args)
         smpl = smpl_models["male"]
 
     T = cfg.seq_len
@@ -140,18 +132,15 @@ def main():
             rng, batch_size=args.batch_size, seq_len=T, num_points=512,
             steps=args.synthetic)
     else:
-        seqs = load_behave_sequences(args.motion_path,
-                                     smpl_models=smpl_models, mode="test")
-        if not seqs:
-            print("no Date03* test sequences under", args.motion_path,
-                  "- evaluating on the train split")
-            seqs = load_behave_sequences(args.motion_path,
-                                         smpl_models=smpl_models, mode="train")
+        from interdiff_tpu.cli.common import fit_batch_size, load_eval_sequences
+
+        seqs = load_eval_sequences(args.motion_path, smpl_models)
         # the eval loop consumes only pose streams + the point-cloud
         # template (contacts are recomputed in-scan) -> light fields
         ds = BehaveDataset(seqs, past_len=args.past_len,
                            future_len=args.future_len, rng=rng,
                            fields="light")
+        args.batch_size = fit_batch_size(len(ds), args.batch_size)
         loader = batch_iterator(ds, collate, batch_size=args.batch_size,
                                 rng=rng, shuffle=False)
 

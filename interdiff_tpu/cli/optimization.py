@@ -51,26 +51,15 @@ def main():
         _run_synthetic(args)
         return
 
-    if args.synthetic_body:
-        from interdiff_tpu.cli.common import synthetic_smpl_body
+    from interdiff_tpu.cli.common import load_eval_sequences, load_smpl_models
 
-        body = synthetic_smpl_body(np.random.default_rng(0), num_verts=6890)
-        smpl_models = {"male": body, "female": body}
-    else:
-        smpl_models = {
-            g: smpl_model_from_pkl(os.path.join(args.model_path,
-                                                f"SMPLH_{g}.pkl"))
-            for g in ("male", "female")
-        }
-    seqs = load_behave_sequences(args.motion_path, smpl_models=smpl_models,
-                                 mode="test")
-    if not seqs:
-        print("no Date03* test sequences under", args.motion_path,
-              "- refining the train split")
-        seqs = load_behave_sequences(args.motion_path,
-                                     smpl_models=smpl_models, mode="train")
+    smpl_models = load_smpl_models(args)
+    seqs = load_eval_sequences(args.motion_path, smpl_models)
+    # optimize_clip consumes only pose streams + the point-cloud template
     ds = BehaveDataset(seqs, past_len=args.past_len,
-                       future_len=args.future_len)
+                       future_len=args.future_len, fields="light")
+    if not len(ds):
+        parser.error(f"no clip windows under {args.motion_path}")
     os.makedirs(args.out_dir, exist_ok=True)
 
     fit = jax.jit(lambda smpl, **kw: optimize_clip(smpl, **kw),

@@ -160,20 +160,9 @@ def main():
             collate,
             load_behave_sequences,
         )
-        if args.synthetic_body:
-            from interdiff_tpu.cli.common import synthetic_smpl_body
+        from interdiff_tpu.cli.common import load_smpl_models
 
-            body = synthetic_smpl_body(np.random.default_rng(0),
-                                       num_verts=6890)
-            smpl_models = {"male": body, "female": body}
-        else:
-            from interdiff_tpu.smpl.loader import smpl_model_from_pkl
-
-            smpl_models = {
-                g: smpl_model_from_pkl(os.path.join(args.model_path,
-                                                    f"SMPLH_{g}.pkl"))
-                for g in ("male", "female")
-            }
+        smpl_models = load_smpl_models(args)
         seqs = load_behave_sequences(args.motion_path,
                                      smpl_models=smpl_models, mode="train")
         # diffusion training reads only the pose streams + the point-cloud

@@ -24,27 +24,6 @@ import jax
 import jax.numpy as jnp
 
 
-def synthetic_smpl_model(rng):
-    """SMPL-H-shaped synthetic body (V=6890, J=52) — the real pkls are not
-    in this image; shapes and tree depth match the real model."""
-    from interdiff_tpu.smpl.model import SmplModel
-
-    V, J = 6890, 52
-    parents = np.zeros(J, dtype=np.int64)
-    for j in range(1, J):
-        parents[j] = (j - 1) // 2
-    w = np.abs(rng.random((V, J))) ** 4
-    w /= w.sum(1, keepdims=True)
-    faces = rng.integers(0, V, (13776, 3)).astype(np.int32)
-    return SmplModel.create(
-        v_template=rng.standard_normal((V, 3)) * 0.25,
-        shapedirs=rng.standard_normal((V, 3, 10)) * 0.01,
-        posedirs=rng.standard_normal((V, 3, 9 * (J - 1))) * 0.001,
-        j_regressor=np.abs(rng.random((J, V)))
-        / np.abs(rng.random((J, V))).sum(1, keepdims=True),
-        weights=w, parents=parents, faces=faces)
-
-
 def make_batch(rng, B, T=35, P=2048):
     """Structured clips: drifting body pose/trans; object rides the body."""
     pose = np.zeros((B, T, 156), np.float32)
@@ -94,10 +73,9 @@ def main():
                          "the two runs are directly comparable)")
     args = ap.parse_args()
 
-    import jax as _jax
+    from interdiff_tpu.cli.common import seed_everything, synthetic_smpl_body
 
-    _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    seed_everything(233)  # also enables the persistent compile cache
 
     from interdiff_tpu.config import DiffusionConfig, SmplTrackConfig
     from interdiff_tpu.eval.metrics import smpl_metrics
@@ -123,7 +101,9 @@ def main():
     cfg = SmplEvalConfig(correction_t_max=50, correction_every=5)
 
     rng = np.random.default_rng(233)
-    smpl = synthetic_smpl_model(rng)
+    # the shared closed watertight stand-in body (penetration behaves);
+    # seeded independently of the data stream
+    smpl = synthetic_smpl_body(np.random.default_rng(0), num_verts=6890)
     use_corr = args.mode == "correction"
     projector = ObjProjectorSmpl() if use_corr else None
     projector_params = load_correction_smpl()[0] if use_corr else None

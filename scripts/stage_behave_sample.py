@@ -57,6 +57,10 @@ def main():
     with open(os.path.join(seq_dir, "info.json"), "w") as f:
         json.dump({"gender": "male", "cat": "backpack"}, f)
 
+    stale = os.path.join(seq_dir, "human_normal.npz")
+    if os.path.exists(stale):  # cached normals from a previous staging
+        os.remove(stale)
+
     obj_dir = os.path.join(args.out, "objects", "backpack")
     os.makedirs(obj_dir, exist_ok=True)
     shutil.copy(os.path.join(REF_OBJ, "backpack/backpack_f1000.ply"), obj_dir)
@@ -68,7 +72,7 @@ def main():
     t0 = time.time()
     out = prepare_sequence(seq_dir, os.path.join(args.out, "objects"),
                            {"male": body, "female": body},
-                           num_samples=args.num_samples)
+                           num_samples=args.num_samples, overwrite=True)
     print(f"contact labels: {out} ({time.time() - t0:.1f}s)")
     print("staged:", args.out)
 
