@@ -30,3 +30,22 @@ def test_load_paths(tmp_path):
     cfg2.write_text("MOTION_PATH: /data/hoi/motion\n")
     p2 = load_paths(cfg2)
     assert p2.motion_path == "/data/hoi/motion"
+
+
+def test_fit_batch_size_guards_small_corpora():
+    from interdiff_tpu.cli.common import fit_batch_size
+
+    assert fit_batch_size(5, 32) == 5     # shrink to fit
+    assert fit_batch_size(64, 32) == 32   # plenty of clips -> unchanged
+    assert fit_batch_size(0, 32) == 32    # empty corpus handled upstream
+
+
+def test_load_smpl_models_synthetic_body():
+    from types import SimpleNamespace
+
+    from interdiff_tpu.cli.common import load_smpl_models
+
+    models = load_smpl_models(SimpleNamespace(synthetic_body=True))
+    assert set(models) == {"male", "female"}
+    assert models["male"] is models["female"]  # one shared stand-in body
+    assert models["male"].v_template.shape[0] == 6890
