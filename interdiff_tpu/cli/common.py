@@ -202,6 +202,31 @@ def load_eval_sequences(motion_path: str, smpl_models, mode: str = "test"):
     return seqs
 
 
+def load_correction_variables(path: str, kind: str = "smpl"):
+    """Load correction-net variables ``{'params', 'batch_stats'}`` from
+    either the reference torch Lightning ``.ckpt`` file or an orbax
+    directory written by our correction trainers (CheckpointManager layout
+    or a flat StandardCheckpointer save such as
+    ``artifacts/correction_real_params``)."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        p = os.path.abspath(path)
+        mgr = ocp.CheckpointManager(p)
+        if mgr.latest_step() is not None:
+            return mgr.restore(mgr.latest_step())
+        return ocp.StandardCheckpointer().restore(p)
+    from interdiff_tpu.utils.checkpoint import (
+        load_correction_skeleton,
+        load_correction_smpl,
+    )
+
+    loader = load_correction_smpl if kind == "smpl" else \
+        load_correction_skeleton
+    variables, _ = loader(path)
+    return variables
+
+
 def fit_batch_size(num_clips: int, batch_size: int) -> int:
     """Shrink the batch to the corpus so drop_last batching cannot silently
     yield zero batches on a small staged corpus."""

@@ -89,11 +89,12 @@ def main():
 
     projector = projector_params = None
     if args.mode == "correction":
-        from interdiff_tpu.utils.checkpoint import load_correction_skeleton
+        from interdiff_tpu.cli.common import load_correction_variables
 
         projector = ObjProjectorSkeleton(past_len=args.past_len,
                                          future_len=args.future_len)
-        projector_params, _ = load_correction_skeleton(args.correction_ckpt)
+        projector_params = load_correction_variables(
+            args.correction_ckpt, kind="skeleton")
 
     # encode once per batch, reuse across any repeated sampling
     sample = jax.jit(make_skeleton_sampler(

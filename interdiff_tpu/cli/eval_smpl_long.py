@@ -107,11 +107,12 @@ def main():
 
     projector = projector_params = None
     if args.mode == "correction":
-        from interdiff_tpu.utils.checkpoint import load_correction_smpl
+        from interdiff_tpu.cli.common import load_correction_variables
 
         projector = ObjProjectorSmpl(past_len=args.past_len,
                                      future_len=args.future_len)
-        projector_params, _ = load_correction_smpl(args.correction_ckpt)
+        projector_params = load_correction_variables(
+            args.correction_ckpt, kind="smpl")
 
     import functools
 

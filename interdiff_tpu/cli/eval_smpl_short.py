@@ -55,6 +55,11 @@ def main():
                              "synthetic stand-in body (SMPLH pkls are not "
                              "shipped in this image)")
     args = parser.parse_args()
+    # validate the fold flags before any expensive data/model loading
+    if args.diverse_fold < 1:
+        parser.error("--diverse_fold must be a positive integer")
+    if args.diverse_samples % args.diverse_fold:
+        parser.error("--diverse_fold must divide --diverse_samples")
     if args.config:
         from interdiff_tpu.data.paths import load_paths
 
@@ -114,11 +119,12 @@ def main():
 
     projector = projector_params = None
     if args.mode == "correction":
-        from interdiff_tpu.utils.checkpoint import load_correction_smpl
+        from interdiff_tpu.cli.common import load_correction_variables
 
         projector = ObjProjectorSmpl(past_len=args.past_len,
                                      future_len=args.future_len)
-        projector_params, _ = load_correction_smpl(args.correction_ckpt)
+        projector_params = load_correction_variables(args.correction_ckpt,
+                                                     kind="smpl")
 
     # memory reuse: the conditioning encoder is deterministic, so compute
     # it once per batch and share it across the diverse samples
@@ -163,9 +169,7 @@ def main():
         loader = batch_iterator(ds, collate, batch_size=args.batch_size,
                                 rng=rng, shuffle=False)
 
-    n_fold = max(1, args.diverse_fold)
-    if args.diverse_samples % n_fold:
-        parser.error("--diverse_fold must divide --diverse_samples")
+    n_fold = args.diverse_fold
 
     from interdiff_tpu.parallel.sample_parallel import (
         split_diverse_samples,
@@ -187,13 +191,17 @@ def main():
             if "body_betas" in batch else jnp.zeros(gt.shape[:2] + (10,))
 
         memory = encode(params, gt, obj_points6)
+        # ground-truth FK once on the untiled batch (deterministic — no
+        # point running the 6890-vertex FK n_fold times on identical rows)
+        gt_post = post(gt, hand, betas)
         if n_fold > 1:
             # fold n_fold diverse samples into the batch axis per call
             # (independent stochastic samples -> one device-saturating call)
             gt, obj_points6, hand, betas, memory = (
                 tile_for_diverse_samples(a, n_fold)
                 for a in (gt, obj_points6, hand, betas, memory))
-        gt_post = post(gt, hand, betas)
+            gt_post = jax.tree.map(
+                lambda a: tile_for_diverse_samples(a, n_fold), gt_post)
         best = None
         for j in range(args.diverse_samples // n_fold):
             key, k = jax.random.split(key)

@@ -153,8 +153,10 @@ def main():
                                   batch_size=args.batch_size, rng=rng)
 
         if len(val_split):
+            from interdiff_tpu.cli.common import fit_batch_size
             val_batch_np = next(iter(batch_iterator(
-                val_split, collate_skeleton, batch_size=args.batch_size,
+                val_split, collate_skeleton,
+                batch_size=fit_batch_size(len(val_split), args.batch_size),
                 rng=rng, shuffle=False)))
 
     i = 0

@@ -314,10 +314,14 @@ class GaussianDiffusion:
 
     # -- ancestral sampling --------------------------------------------------
     def p_sample(self, model_fn, x, t, key, *, clip_denoised=False,
-                 denoised_fn=None, cond_fn=None, inpaint=None, const_noise=False):
+                 denoised_fn=None, cond_fn=None, inpaint=None,
+                 const_noise=False, noise=None):
+        """One ancestral step (ref `:496-549`).  ``noise`` overrides the
+        random draw — used for deterministic replay / differential tests."""
         out = self.p_mean_variance(model_fn, x, t, clip_denoised=clip_denoised,
                                    denoised_fn=denoised_fn, inpaint=inpaint)
-        noise = jax.random.normal(key, x.shape, dtype=x.dtype)
+        if noise is None:
+            noise = jax.random.normal(key, x.shape, dtype=x.dtype)
         if const_noise:
             noise = jnp.broadcast_to(noise[:1], noise.shape)
         nonzero_mask = (t != 0).astype(x.dtype).reshape((-1,) + (1,) * (x.ndim - 1))
@@ -331,13 +335,21 @@ class GaussianDiffusion:
                       clip_denoised=False, denoised_fn=None, cond_fn=None,
                       inpaint: Optional[Inpaint] = None, const_noise=False,
                       skip_timesteps: int = 0, init_image=None,
-                      unroll: int = 1):
+                      step_noise=None, unroll: int = 1):
         """Full reverse process as a single ``lax.scan`` (ref `:598-736`).
 
         Semantics note kept from the reference: when ``noise`` is supplied the
         initial inpainting overwrite is *not* applied (the eval harnesses pass
         explicit noise, ref `eval_smpl_short.py:152-153`); with generated noise
         it is (`gaussian_diffusion.py:694-699`).
+
+        ``skip_timesteps`` reproduces the reference DDPM loop's semantics
+        (`:704` — indices run ``T-1 .. skip``, i.e. the chain stops early at
+        t=skip; NB the reference's DDIM/PLMS loops instead run
+        ``T-skip-1 .. 0``), with ``init_image`` q-sampled at ``indices[0]``.
+        ``step_noise`` ([num_steps, *shape]) overrides the per-step Gaussian
+        draws for deterministic replay / differential testing against the
+        torch engine (verified in tests/test_reference_parity.py).
         """
         if noise is None:
             key, k_init = jax.random.split(key)
@@ -355,17 +367,27 @@ class GaussianDiffusion:
             my_t = jnp.full((shape[0],), int(indices[0]), dtype=jnp.int32)
             img = self.q_sample(init_image, my_t, img)
 
-        def step(carry, i):
+        def step(carry, xs):
+            i, n = xs
             x, k = carry
             k, k_step = jax.random.split(k)
             t = jnp.full((shape[0],), i, dtype=jnp.int32)
             out = self.p_sample(model_fn, x, t, k_step,
                                 clip_denoised=clip_denoised,
                                 denoised_fn=denoised_fn, cond_fn=cond_fn,
-                                inpaint=inpaint, const_noise=const_noise)
+                                inpaint=inpaint, const_noise=const_noise,
+                                noise=n)
             return (out["sample"], k), None
 
-        (img, _), _ = jax.lax.scan(step, (img, key), indices, unroll=unroll)
+        if step_noise is None:
+            def step_rand(carry, i):
+                return step(carry, (i, None))
+
+            (img, _), _ = jax.lax.scan(step_rand, (img, key), indices,
+                                       unroll=unroll)
+        else:
+            (img, _), _ = jax.lax.scan(step, (img, key),
+                                       (indices, step_noise), unroll=unroll)
         return img
 
     # -- DDIM -----------------------------------------------------------------
