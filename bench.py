@@ -161,36 +161,99 @@ def measure_tpu() -> float:
     return B * n_rep / dt  # sequences/sec on this one chip
 
 
-def measure_torch_cpu() -> float:
-    """Same denoiser topology/sizes in torch on CPU, 100-step loop.
+def _reference_qan_stacks():
+    """Import the ACTUAL reference QaN layers (`reference/interdiff/model/
+    sublayers.py`) with the vendored lucidrains LocalAttention forward from
+    tests/vendor_local_attention.py supplying the missing pip deps.  Returns
+    (TransformerEncoderLayerQaN, TransformerDecoderLayerQaN) or None when
+    the reference snapshot isn't present."""
+    import sys
+    import types
 
-    Architecture-equivalent stand-in (the reference's own deps — pointnet2
-    CUDA ops, local_attention — don't run here): 8-layer encoder once +
-    100 x 8-layer decoder, d_model 256, ff 1024, batch 32.  Extrapolated
-    from a few reverse steps.
+    ref = "/root/reference/interdiff"
+    tests_dir = os.path.join(os.path.dirname(__file__), "tests")
+    if not os.path.isdir(ref):
+        return None
+    for p in (tests_dir, ref):
+        if p not in sys.path:
+            sys.path.append(p)
+    import vendor_local_attention as vla
+
+    la = types.ModuleType("local_attention")
+    la.LocalAttention = vla.LocalAttention
+    sys.modules.setdefault("local_attention", la)
+    tv = types.ModuleType("torchvision")
+    tv_ops = types.ModuleType("torchvision.ops")
+    tv_ops.stochastic_depth = lambda x, p, mode, training=True: x
+    tv.ops = tv_ops
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.ops", tv_ops)
+    from model.sublayers import (
+        TransformerDecoderLayerQaN,
+        TransformerEncoderLayerQaN,
+    )
+
+    return TransformerEncoderLayerQaN, TransformerDecoderLayerQaN
+
+
+def measure_torch_cpu() -> float:
+    """The TRUE reference denoiser topology in torch on CPU, 100-step loop:
+    8-layer encoder (layers 1 & 8 vanilla, 2-7 QaN) run once for the
+    conditioning memory + 100 x 8-layer decoder (1 & 8 vanilla, 2-7 QaN with
+    cross-attention), d_model 256, ff 1024, 4 heads, batch 32 — the exact
+    stack of `reference/interdiff/model/diffusion_smpl.py:20-127` with the
+    Linear pc-embedding path (`use_pointnet2=0`, `:14`; the CUDA pointnet2
+    ops don't run on CPU).  QaN layers are the reference's own modules
+    (activation-parity pinned in tests/test_qan_torch_parity.py).
+    Extrapolated from a few reverse steps.  Falls back to all-vanilla layers
+    (the round-1 baseline) if the reference snapshot is absent.
     """
     import torch
 
     torch.set_num_threads(os.cpu_count() or 1)
     d, ff, H = 256, 1024, 4
-    enc_layer = torch.nn.TransformerEncoderLayer(
-        d, H, ff, dropout=0.0, activation="gelu", batch_first=True)
-    encoder = torch.nn.TransformerEncoder(enc_layer, 8)
-    dec_layer = torch.nn.TransformerDecoderLayer(
-        d, H, ff, dropout=0.0, activation="gelu", batch_first=True)
-    decoder = torch.nn.TransformerDecoder(dec_layer, 8)
+    qan = _reference_qan_stacks()
+
+    def enc_layer():
+        return torch.nn.TransformerEncoderLayer(d, H, ff, dropout=0.0,
+                                                activation="gelu")
+
+    def dec_layer():
+        return torch.nn.TransformerDecoderLayer(d, H, ff, dropout=0.0,
+                                                activation="gelu")
+
+    if qan is not None:
+        EncQaN, DecQaN = qan
+        enc_layers = [enc_layer()] + [
+            EncQaN(d, H, dim_feedforward=ff, dropout=0.0, activation="gelu")
+            for _ in range(6)] + [enc_layer()]
+        dec_layers = [dec_layer()] + [
+            DecQaN(d, H, dim_feedforward=ff, dropout=0.0, activation="gelu")
+            for _ in range(6)] + [dec_layer()]
+    else:
+        enc_layers = [enc_layer() for _ in range(8)]
+        dec_layers = [dec_layer() for _ in range(8)]
     emb_body = torch.nn.Linear(135, d)
     emb_obj = torch.nn.Linear(9, d)
+    emb_pc = torch.nn.Linear(6, d)  # use_pointnet2=0 path
     head = torch.nn.Linear(d, 144)
+    for m in enc_layers + dec_layers:
+        m.eval()
 
-    x = torch.randn(B, T, 144)
+    # seq-first like the reference modules
+    x = torch.randn(T, B, 144)
+    pc_token = torch.randn(1, B, 6)
     with torch.no_grad():
-        mem = encoder(emb_body(x[:, :T_PAST, :135])
-                      + emb_obj(x[:, :T_PAST, 135:]))
+        mem = emb_body(x[:T_PAST, :, :135]) + emb_obj(x[:T_PAST, :, 135:])
+        mem = torch.cat([mem, emb_pc(pc_token)], dim=0)
+        for l in enc_layers:
+            mem = l(mem)
 
         def denoise(x):
             h = emb_body(x[..., :135]) + emb_obj(x[..., 135:])
-            return head(decoder(h, mem))
+            for l in dec_layers:
+                h = l(h, mem)
+            return head(h)
 
         denoise(x)  # warm
         n_steps = 5
@@ -203,19 +266,117 @@ def measure_torch_cpu() -> float:
     return B / (per_step * STEPS)  # sequences/sec for a full 100-step sample
 
 
-def main():
+def measure_tpu_correction() -> float:
+    """INTERDIFF_BENCH_CORRECTION=1: the signature InterDiff inference path —
+    the `eval_smpl_short` sampler WITH the physics-informed projector
+    (`correction.ckpt`) compiled into the scan: SMPL LBS over B*T bodies,
+    vertex normals, brute-force signed distance, DCT ST-GCNN projector and
+    gated blend, all behind `lax.cond` (`eval/smpl_short.py:80-137`).
+
+    Settings (env-tunable; full-size eval graphs do not compile over the
+    axon tunnel in reasonable time, CLAUDE.md):
+      INTERDIFF_BENCH_BODY_V   stand-in watertight body verts (default 3072)
+      INTERDIFF_BENCH_POINTS   object points (default 1024; reference 2048)
+      INTERDIFF_BENCH_BATCH    batch (default 32)
+    The correction gate is scaled to the 100-step respaced schedule:
+    t <= 50, every 5 -> 11 corrected steps per sample, the same 10-ish
+    corrected fraction as the reference's 1000-step t<=500 %50 schedule.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from interdiff_tpu.cli.common import synthetic_smpl_body
+    from interdiff_tpu.diffusion.gaussian import GaussianDiffusion
+    from interdiff_tpu.eval.smpl_short import SmplEvalConfig, make_sampler
+    from interdiff_tpu.models.correction import ObjProjectorSmpl
+    from interdiff_tpu.models.mdm_smpl import MDMSmpl
+    from interdiff_tpu.utils.checkpoint import load_correction_smpl
+
+    V = int(os.environ.get("INTERDIFF_BENCH_BODY_V", "3072"))
+    P_corr = int(os.environ.get("INTERDIFF_BENCH_POINTS", "1024"))
+    rng = np.random.default_rng(233)
+    smpl = synthetic_smpl_body(rng, num_verts=V)
+    markers_idx = np.linspace(0, V - 1, 67).astype(np.int32)
+
+    model = MDMSmpl()
+    respacing = os.environ.get("INTERDIFF_BENCH_RESPACING", str(STEPS))
+    diffusion = GaussianDiffusion.create_named(
+        steps=1000, timestep_respacing=respacing)
+    cfg = SmplEvalConfig(correction_t_max=50, correction_every=5)
+
+    projector = ObjProjectorSmpl()
+    projector_params, _ = load_correction_smpl()
+
+    gt = jnp.asarray(rng.standard_normal((B, T, 144)).astype(np.float32))
+    obj_points6 = jnp.asarray(
+        rng.standard_normal((B, P_corr, 6)).astype(np.float32))
+    hand = jnp.asarray(rng.standard_normal((B, T, 90)).astype(np.float32))
+    betas = jnp.zeros((B, T, 10), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), gt, obj_points6,
+                        jnp.zeros((B,), jnp.int32),
+                        method=MDMSmpl.init_forward)
+
+    sample = jax.jit(make_sampler(
+        cfg, model, diffusion, smpl=smpl, projector=projector,
+        projector_params=projector_params, use_correction=True,
+        markers_idx=markers_idx, reuse_memory=True))
+    enc = jax.jit(lambda g, p: model.apply(params, g, p,
+                                           method=MDMSmpl.encode))
+
+    key = jax.random.PRNGKey(1)
+    memory = enc(gt, obj_points6)
+    sample(params, key, gt, obj_points6, hand, betas,
+           memory).block_until_ready()  # compile
+    n_rep = 5
+    t0 = time.perf_counter()
+    memory = enc(gt, obj_points6)
+    for i in range(n_rep):
+        out = sample(params, jax.random.fold_in(key, i), gt, obj_points6,
+                     hand, betas, memory)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return B * n_rep / dt
+
+
+def _load_or_measure_baseline() -> float:
+    """torch-CPU baseline, measured once and cached.  Key
+    ``torch_cpu_true_arch_seq_per_sec`` is the reference QaN architecture
+    (round 2+); the legacy all-vanilla number stays under
+    ``torch_cpu_seq_per_sec`` for comparability with round-1 reports."""
+    cache = {}
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
-            baseline = json.load(f)["torch_cpu_seq_per_sec"]
-    else:
-        baseline = measure_torch_cpu()
+            cache = json.load(f)
+    key = "torch_cpu_true_arch_seq_per_sec"
+    if key not in cache:
+        cache[key] = measure_torch_cpu()
+        cache["true_arch_config"] = (
+            f"B{B} T{T} steps{STEPS} d256 ff1024 8+8 layers "
+            f"(1&8 vanilla, 2-7 reference QaN), torch-cpu")
         try:
             with open(BASELINE_FILE, "w") as f:
-                json.dump({"torch_cpu_seq_per_sec": baseline,
-                           "config": f"B{B} T{T} steps{STEPS} d256 ff1024 "
-                                     f"8+8 layers, torch-cpu"}, f)
+                json.dump(cache, f)
         except OSError:
             pass
+    return cache[key]
+
+
+def main():
+    baseline = _load_or_measure_baseline()
+    if os.environ.get("INTERDIFF_BENCH_CORRECTION") == "1":
+        throughput = measure_tpu_correction()
+        print(json.dumps({
+            "metric": "HOI sequences/sec/chip (100-step DDPM + correction-"
+                      "in-scan, BEHAVE)",
+            "value": round(throughput, 3),
+            "unit": "seq/s/chip",
+            "vs_baseline": round(throughput / baseline, 2),
+        }))
+        return
 
     throughput = measure_tpu()
     print(json.dumps({

@@ -47,3 +47,38 @@ def test_best_of_n_metrics_min():
     vals = jnp.asarray([5.0, 1.0, 2.0, 9.0, 4.0, 0.5])  # [n*B]
     out = best_of_n_metrics({"m": vals}, n)
     np.testing.assert_allclose(np.asarray(out["m"]), [2.0, 0.5])
+
+
+def test_data_parallel_sample_matches_single_device(rng):
+    """The full reverse-diffusion scan sharded over the 8-device mesh must
+    equal the single-device run (sampling is per-sequence independent, so
+    XLA partitions it with zero collectives)."""
+    from interdiff_tpu.diffusion.gaussian import GaussianDiffusion
+    from interdiff_tpu.eval.smpl_short import SmplEvalConfig, make_sampler
+    from interdiff_tpu.models.mdm_smpl import MDMSmpl
+    from interdiff_tpu.parallel.sample_parallel import data_parallel_sample
+
+    mesh = make_mesh()
+    model = MDMSmpl(embed_dim=32, ff_size=64, num_layers=2,
+                    use_pointnet2=False)
+    diffusion = GaussianDiffusion.create_named(steps=20,
+                                               timestep_respacing="5")
+    cfg = SmplEvalConfig()
+    sampler = make_sampler(cfg, model, diffusion)
+
+    B, T, P = 16, cfg.seq_len, 32
+    gt = jnp.asarray(rng.standard_normal((B, T, 144)).astype(np.float32))
+    pts = jnp.asarray(rng.standard_normal((B, P, 6)).astype(np.float32))
+    hand = jnp.zeros((B, T, 90), jnp.float32)
+    betas = jnp.zeros((B, T, 10), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), gt, pts,
+                        jnp.zeros((B,), jnp.int32),
+                        method=MDMSmpl.init_forward)
+    key = jax.random.PRNGKey(3)
+
+    dp = data_parallel_sample(sampler, mesh, n_args=6)
+    x_sharded = dp(params, key, *dp.place_batch((gt, pts, hand, betas)))
+    assert x_sharded.sharding == batch_sharding(mesh)  # output stays sharded
+    x_single = jax.jit(sampler)(params, key, gt, pts, hand, betas)
+    np.testing.assert_allclose(np.asarray(x_sharded), np.asarray(x_single),
+                               atol=1e-5)
