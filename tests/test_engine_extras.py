@@ -128,8 +128,9 @@ def test_mesh_viz_fallback_writes_gif(tmp_path, rng):
     obj_verts = rng.standard_normal((T, P, 3)).astype(np.float32)
     path = str(tmp_path / "mesh.gif")
     out = visualize_body_obj(verts, faces, obj_verts, faces, past_len=1,
-                             save_path=path)
-    assert os.path.exists(out) and os.path.getsize(out) > 1000
+                             save_path=path, h=64, w=64)
+    assert os.path.exists(path) and os.path.getsize(path) > 1000
+    assert out.shape == (T, 3, 64, 4 * 64) and out.dtype == np.uint8
 
 
 def test_masked_l2(rng):
