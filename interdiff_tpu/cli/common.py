@@ -227,6 +227,19 @@ def load_correction_variables(path: str, kind: str = "smpl"):
     return variables
 
 
+def restore_params(ckpt_dir: str, template):
+    """Restore a params pytree from either a CheckpointManager directory
+    (training CLIs) or a flat StandardCheckpointer save (demo scripts)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(ckpt_dir)
+    mgr = ocp.CheckpointManager(path)
+    if mgr.latest_step() is not None:
+        return mgr.restore(mgr.latest_step(),
+                           args=ocp.args.StandardRestore(template))
+    return ocp.StandardCheckpointer().restore(path, target=template)
+
+
 def fit_batch_size(num_clips: int, batch_size: int) -> int:
     """Shrink the batch to the corpus so drop_last batching cannot silently
     yield zero batches on a small staged corpus."""

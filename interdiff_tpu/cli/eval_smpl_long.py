@@ -168,16 +168,9 @@ def main():
 
 
 def _restore_params(ckpt_dir, template):
-    """Restore params from either a CheckpointManager directory (training
-    CLIs) or a flat StandardCheckpointer save (demo scripts)."""
-    import orbax.checkpoint as ocp
+    from interdiff_tpu.cli.common import restore_params
 
-    path = os.path.abspath(ckpt_dir)
-    mgr = ocp.CheckpointManager(path)
-    if mgr.latest_step() is not None:
-        return mgr.restore(mgr.latest_step(),
-                           args=ocp.args.StandardRestore(template))
-    return ocp.StandardCheckpointer().restore(path, target=template)
+    return restore_params(ckpt_dir, template)
 
 
 if __name__ == "__main__":

@@ -45,6 +45,10 @@ def main():
                         choices=["ddpm", "ddim", "plms"])
     parser.add_argument("--render_dir", default=None,
                         help="write a gif of sample 0 per batch (seam-smoothed)")
+    parser.add_argument("--mesh_devices", type=int, default=0,
+                        help="shard the sampling + FK/metrics batch over an "
+                             "N-device data mesh (0 = single device); "
+                             "batch_size * diverse_fold must divide by N")
     parser.add_argument("--config", default=None,
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
     parser.add_argument("--synthetic", type=int, default=0,
@@ -128,27 +132,53 @@ def main():
 
     # memory reuse: the conditioning encoder is deterministic, so compute
     # it once per batch and share it across the diverse samples
-    sample = jax.jit(make_sampler(
+    raw_sample = make_sampler(
         cfg, model, diffusion, smpl=smpl, projector=projector,
         projector_params=projector_params,
         use_correction=args.mode == "correction",
-        reuse_memory=True, sampler=args.sampler))
-    encode = jax.jit(lambda p, g, pts: model.apply(p, g, pts,
-                                                   method=MDMSmpl.encode))
+        reuse_memory=True, sampler=args.sampler)
     # jit the FK postprocess + metrics: op-by-op dispatch of the 6890-vert
     # FK/penetration math over the axon tunnel is minutes per batch eager
-    post = jax.jit(lambda x, hand, betas: postprocess_sample(
-        cfg, smpl, x, hand, betas))
+    raw_post = lambda x, hand, betas: postprocess_sample(  # noqa: E731
+        cfg, smpl, x, hand, betas)
     faces_j = jnp.asarray(smpl.faces)
 
-    @jax.jit
-    def metrics_fn(out, gt_post, obj_pts3):
+    def raw_metrics(out, gt_post, obj_pts3):
         pp = args.past_len
         return smpl_metrics(
             out["obj_pred"][:, pp:], out["jtr"][:, pp:],
             out["body_pred"][:, pp:], gt_post["obj_pred"][:, pp:],
             gt_post["jtr"][:, pp:], gt_post["body_pred"][:, pp:],
             out["verts"][:, pp:], faces_j, obj_pts3)
+
+    if args.mesh_devices > 1:
+        # production data-parallel eval: params/key replicated, the tiled
+        # batch + FK/metrics sharded over the mesh's data axis (XLA inserts
+        # no collectives — per-sequence sampling is embarrassingly parallel,
+        # equality with single-device pinned by tests/test_parallel.py)
+        from interdiff_tpu.parallel.mesh import make_mesh
+        from interdiff_tpu.parallel.sample_parallel import data_parallel_sample
+
+        if len(jax.devices()) < args.mesh_devices:
+            parser.error(f"--mesh_devices {args.mesh_devices} > "
+                         f"{len(jax.devices())} available devices")
+        mesh = make_mesh(data=args.mesh_devices)
+        sample = data_parallel_sample(raw_sample, mesh, n_args=7)
+        place_batch = sample.place_batch
+        encode = data_parallel_sample(
+            lambda p, g, pts: model.apply(p, g, pts, method=MDMSmpl.encode),
+            mesh, n_args=3, replicated_args=(0,))
+        post = data_parallel_sample(raw_post, mesh, n_args=3,
+                                    replicated_args=())
+        metrics_fn = data_parallel_sample(raw_metrics, mesh, n_args=3,
+                                          replicated_args=())
+    else:
+        sample = jax.jit(raw_sample)
+        encode = jax.jit(lambda p, g, pts: model.apply(
+            p, g, pts, method=MDMSmpl.encode))
+        post = jax.jit(raw_post)
+        metrics_fn = jax.jit(raw_metrics)
+        place_batch = lambda x: x  # noqa: E731
 
     if args.synthetic:
         from interdiff_tpu.cli.common import synthetic_smpl_batches
@@ -197,11 +227,13 @@ def main():
         if n_fold > 1:
             # fold n_fold diverse samples into the batch axis per call
             # (independent stochastic samples -> one device-saturating call)
-            gt, obj_points6, hand, betas, memory = (
+            # re-place after tiling: tile outputs land replicated, and the
+            # sharded jit refuses committed arrays with the wrong layout
+            gt, obj_points6, hand, betas, memory = place_batch(tuple(
                 tile_for_diverse_samples(a, n_fold)
-                for a in (gt, obj_points6, hand, betas, memory))
-            gt_post = jax.tree.map(
-                lambda a: tile_for_diverse_samples(a, n_fold), gt_post)
+                for a in (gt, obj_points6, hand, betas, memory)))
+            gt_post = place_batch(jax.tree.map(
+                lambda a: tile_for_diverse_samples(a, n_fold), gt_post))
         best = None
         for j in range(args.diverse_samples // n_fold):
             key, k = jax.random.split(key)
@@ -238,16 +270,9 @@ def main():
 
 
 def _restore_params(ckpt_dir, template):
-    """Restore params from either a CheckpointManager directory (training
-    CLIs) or a flat StandardCheckpointer save (demo scripts)."""
-    import orbax.checkpoint as ocp
+    from interdiff_tpu.cli.common import restore_params
 
-    path = os.path.abspath(ckpt_dir)
-    mgr = ocp.CheckpointManager(path)
-    if mgr.latest_step() is not None:
-        return mgr.restore(mgr.latest_step(),
-                           args=ocp.args.StandardRestore(template))
-    return ocp.StandardCheckpointer().restore(path, target=template)
+    return restore_params(ckpt_dir, template)
 
 
 if __name__ == "__main__":

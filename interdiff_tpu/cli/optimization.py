@@ -1,13 +1,25 @@
-"""Post-hoc refinement over the test split — `interdiff/optimization.py`
-__main__ equivalent: 200 jitted Adam iterations per clip.
+"""Post-hoc refinement — `interdiff/optimization.py` __main__ equivalent:
+200 jitted Adam iterations per clip.
+
+Two modes:
+
+* default — refine dataset clips directly, like the reference's
+  ``for data in Dataset('test'): optimize(i, data)`` (`optimization.py:216-219`);
+* ``--diffusion_ckpt <orbax dir>`` — the full generate-then-refine
+  pipeline the reference never wired up end-to-end: sample futures from
+  the trained diffusion model (past-frame inpainting), refine every
+  sampled clip, and report the penetration metric before/after.
 
 Usage:
   python -m interdiff_tpu.cli.optimization --motion_path ... \
       --model_path <SMPLH pkl dir> [--limit N]
+  python -m interdiff_tpu.cli.optimization --motion_path ... \
+      --synthetic_body --diffusion_ckpt artifacts/smpl_real_params
 """
 
 from __future__ import annotations
 
+import json
 import os
 from argparse import ArgumentParser
 
@@ -20,8 +32,18 @@ def main():
     parser = ArgumentParser()
     parser.add_argument("--motion_path", default=None)
     parser.add_argument("--model_path", default=None)
+    parser.add_argument("--diffusion_ckpt", default=None,
+                        help="orbax params dir; when given, refine SAMPLED "
+                             "futures instead of dataset clips and report "
+                             "penetration before/after")
     parser.add_argument("--past_len", type=int, default=10)
     parser.add_argument("--future_len", type=int, default=10)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--respacing", default="100",
+                        help="sampling respacing for --diffusion_ckpt mode")
+    parser.add_argument("--seed", type=int, default=233)
+    parser.add_argument("--iters", type=int, default=200,
+                        help="Adam iterations (`optimization.py:138`)")
     parser.add_argument("--limit", type=int, default=0)
     parser.add_argument("--out_dir", default="./results/optimization")
     parser.add_argument("--config", default=None,
@@ -43,15 +65,21 @@ def main():
             args.motion_path and (args.model_path or args.synthetic_body)):
         parser.error("--motion_path and --model_path (or --config) required")
 
-    from interdiff_tpu.data.behave import BehaveDataset, load_behave_sequences
-    from interdiff_tpu.eval.optimization import OptimConfig, optimize_clip
-    from interdiff_tpu.smpl.loader import smpl_model_from_pkl
-
+    if args.diffusion_ckpt is not None:
+        # "" = randomly-initialized model (smoke); a path restores orbax
+        _run_from_samples(args)
+        return
     if args.synthetic:
         _run_synthetic(args)
         return
+    _run_dataset(args)
 
+
+def _run_dataset(args):
+    """Reference mode: refine ground-truth dataset clips."""
     from interdiff_tpu.cli.common import load_eval_sequences, load_smpl_models
+    from interdiff_tpu.data.behave import BehaveDataset
+    from interdiff_tpu.eval.optimization import OptimConfig, optimize_clip
 
     smpl_models = load_smpl_models(args)
     seqs = load_eval_sequences(args.motion_path, smpl_models)
@@ -59,11 +87,11 @@ def main():
     ds = BehaveDataset(seqs, past_len=args.past_len,
                        future_len=args.future_len, fields="light")
     if not len(ds):
-        parser.error(f"no clip windows under {args.motion_path}")
+        raise SystemExit(f"no clip windows under {args.motion_path}")
     os.makedirs(args.out_dir, exist_ok=True)
 
-    fit = jax.jit(lambda smpl, **kw: optimize_clip(smpl, **kw),
-                  static_argnums=())
+    cfg = OptimConfig(iters=args.iters,
+                      keep_after=min(150, 3 * args.iters // 4))
     for i in range(len(ds)):
         clip = ds[i]
         gender = "male" if clip["gender"] == 0 else "female"
@@ -77,6 +105,7 @@ def main():
             obj_angles=jnp.asarray(clip["obj_angles"]),
             obj_trans=jnp.asarray(clip["obj_trans"]),
             obj_points=jnp.asarray(clip["obj_points"][:, :3]),
+            cfg=cfg,
         )
         np.savez(os.path.join(args.out_dir, f"clip_{i}.npz"),
                  **{k: np.asarray(v) for k, v in out.items()})
@@ -85,13 +114,155 @@ def main():
             break
 
 
+def _run_from_samples(args):
+    """sample -> optimize -> metrics delta: the trained diffusion model
+    feeds the refiner, and penetration is measured on both sides."""
+    from interdiff_tpu.cli.common import (
+        batch_iterator,
+        fit_batch_size,
+        restore_params,
+        seed_everything,
+        synthetic_smpl_batches,
+        synthetic_smpl_body,
+    )
+    from interdiff_tpu.config import DiffusionConfig, SmplTrackConfig
+    from interdiff_tpu.eval.optimization import OptimConfig, optimize_clip
+    from interdiff_tpu.eval.smpl_short import (
+        SmplEvalConfig,
+        make_sampler,
+        postprocess_sample,
+    )
+    from interdiff_tpu.geometry.normals import vertex_normals
+    from interdiff_tpu.geometry.rotations import axis_angle_to_matrix
+    from interdiff_tpu.models.mdm_smpl import MDMSmpl, smpl_gt_from_raw
+    from interdiff_tpu.ops.signed_distance import point2point_signed
+    from interdiff_tpu.smpl.model import smpl_forward
+
+    rng = seed_everything(args.seed)
+    cfg = SmplEvalConfig(past_len=args.past_len, future_len=args.future_len)
+    track = SmplTrackConfig(
+        past_len=args.past_len, future_len=args.future_len,
+        diffusion=DiffusionConfig(timestep_respacing=args.respacing))
+    model = track.build_model()
+    diffusion = track.diffusion.build()
+
+    if args.synthetic:
+        smpl = synthetic_smpl_body(rng)
+        loader = synthetic_smpl_batches(
+            rng, batch_size=args.batch_size, seq_len=cfg.seq_len,
+            num_points=256, steps=args.synthetic)
+    else:
+        from interdiff_tpu.cli.common import load_eval_sequences, load_smpl_models
+        from interdiff_tpu.data.behave import BehaveDataset, collate
+
+        smpl_models = load_smpl_models(args)
+        smpl = smpl_models["male"]
+        seqs = load_eval_sequences(args.motion_path, smpl_models)
+        ds = BehaveDataset(seqs, past_len=args.past_len,
+                           future_len=args.future_len, rng=rng,
+                           fields="light")
+        args.batch_size = fit_batch_size(len(ds), args.batch_size)
+        loader = batch_iterator(ds, collate, batch_size=args.batch_size,
+                                rng=rng, shuffle=False)
+
+    T = cfg.seq_len
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, T, 144)),
+        jnp.zeros((2, 256, 6)), jnp.zeros((2,), jnp.int32),
+        method=MDMSmpl.init_forward)
+    if args.diffusion_ckpt:
+        params = restore_params(args.diffusion_ckpt, params)
+
+    sample = jax.jit(make_sampler(cfg, model, diffusion, smpl=smpl,
+                                  use_correction=False))
+    post = jax.jit(lambda x, hand, betas: postprocess_sample(
+        cfg, smpl, x, hand, betas))
+    faces_j = jnp.asarray(smpl.faces)
+    pp = args.past_len
+
+    @jax.jit
+    def penetration(pose, trans, betas, obj_aa, obj_trans, obj_pts):
+        """Fraction of object points inside the body over future frames —
+        the `penetrate` metric (`eval_smpl_short.py:39-40`).  pose
+        [B,T,156] axis-angle, obj_pts [B,P,3] canonical template."""
+        B, Tn = pose.shape[:2]
+        verts, _, _, _ = smpl_forward(
+            smpl, pose.reshape(B * Tn, -1), betas.reshape(B * Tn, -1),
+            trans.reshape(B * Tn, 3))
+        rot = axis_angle_to_matrix(obj_aa)
+        pts = (jnp.einsum("btij,bpj->btpi", rot, obj_pts)
+               + obj_trans[:, :, None])
+        normals = vertex_normals(verts, faces_j)
+        o2h, _, _, _ = point2point_signed(
+            verts, pts.reshape(B * Tn, -1, 3), normals, None, chunk=512)
+        inside = (o2h < 0).reshape(B, Tn, -1).astype(jnp.float32)
+        return inside[:, pp:].mean(axis=(1, 2))
+
+    ocfg = OptimConfig(iters=args.iters,
+                       keep_after=min(150, 3 * args.iters // 4))
+    # lax.map (not vmap): the refiner body stays unbatched — one compile,
+    # sequential clips, and no batching rewrite of the HIGHEST-precision
+    # rotation matmuls (whose vmap form trips an XLA:CPU verifier bug)
+    refine = jax.jit(lambda bp, hp, tr, be, oa, ot, op: jax.lax.map(
+        lambda a: optimize_clip(
+            smpl, body_pose=a[0], hand_pose=a[1], body_trans=a[2],
+            betas=a[3], obj_angles=a[4], obj_trans=a[5], obj_points=a[6],
+            cfg=ocfg),
+        (bp, hp, tr, be, oa, ot, op)))
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    key = jax.random.PRNGKey(args.seed)
+    tot_before, tot_after, nb = 0.0, 0.0, 0
+    for batch in loader:
+        gt = smpl_gt_from_raw(
+            jnp.asarray(batch["body_pose"][..., :66]),
+            jnp.asarray(batch["body_trans"]),
+            jnp.asarray(batch["obj_angles"]),
+            jnp.asarray(batch["obj_trans"]))
+        obj_points6 = jnp.asarray(batch["obj_points"][..., :6])
+        hand = jnp.asarray(batch["body_pose"][..., 66:])
+        betas = jnp.asarray(batch["body_betas"]) \
+            if "body_betas" in batch else jnp.zeros(gt.shape[:2] + (10,))
+
+        key, k = jax.random.split(key)
+        x = sample(params, k, gt, obj_points6, hand, betas)
+        out = post(x, hand, betas)
+        body_pred, obj_pred = out["body_pred"], out["obj_pred"]
+        pts3 = obj_points6[..., :3]
+
+        pen_before = penetration(
+            body_pred[..., :156], body_pred[..., 156:], betas,
+            obj_pred[..., :3], obj_pred[..., 3:], pts3)
+
+        refined = refine(body_pred[..., :66], body_pred[..., 66:156],
+                         body_pred[..., 156:], betas, obj_pred[..., :3],
+                         obj_pred[..., 3:], pts3)
+        pen_after = penetration(
+            refined["pose"], refined["trans"], betas,
+            refined["obj_angles"], refined["obj_trans"], pts3)
+
+        nb += 1
+        tot_before += float(pen_before.mean())
+        tot_after += float(pen_after.mean())
+        print(nb, {"penetrate_before": round(tot_before / nb, 5),
+                   "penetrate_after": round(tot_after / nb, 5),
+                   "best_loss": round(float(refined["best_loss"].mean()), 5)})
+        np.savez(os.path.join(args.out_dir, f"refined_{nb}.npz"),
+                 **{k2: np.asarray(v) for k2, v in refined.items()})
+        if args.limit and nb >= args.limit:
+            break
+
+    summary = {"penetrate_before": tot_before / max(nb, 1),
+               "penetrate_after": tot_after / max(nb, 1),
+               "batches": nb, "iters": args.iters,
+               "respacing": args.respacing}
+    with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f)
+    print(json.dumps(summary))
 
 
 def _run_synthetic(args):
     """Smoke-refine synthetic clips with a synthetic SMPL-H-shaped body."""
-    import jax
-    import jax.numpy as jnp
-
     from interdiff_tpu.cli.common import synthetic_smpl_body
     from interdiff_tpu.eval.optimization import OptimConfig, optimize_clip
 
@@ -115,7 +286,7 @@ def _run_synthetic(args):
             obj_trans=jnp.zeros((T, 3)),
             obj_points=jnp.asarray(
                 rng.standard_normal((64, 3)).astype(np.float32) * 0.05),
-            cfg=OptimConfig(nn_chunk=None))
+            cfg=OptimConfig(iters=args.iters, nn_chunk=None))
         np.savez(os.path.join(args.out_dir, f"synthetic_{i}.npz"),
                  **{k: np.asarray(v) for k, v in out.items()})
         print(i, "best_loss", float(out["best_loss"]))

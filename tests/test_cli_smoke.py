@@ -33,3 +33,39 @@ def test_eval_smpl_long_synthetic(monkeypatch, tmp_path, capsys):
     assert "rolled out 60 frames" in out  # 35 + 25 (one extra chunk)
     roll = np.load(tmp_path / "rollout_0.npy")
     assert roll.shape[1] == 60 and np.isfinite(roll).all()
+
+
+def test_optimization_cli_from_samples(monkeypatch, tmp_path, capsys):
+    """The generate-then-refine pipeline end-to-end: sample futures from
+    the (randomly-initialized) diffusion model, vmapped 200-iter refiner
+    shrunk to 4 iters, penetration reported before/after."""
+    import json
+
+    from interdiff_tpu.cli.optimization import main
+
+    _run(main, ["--synthetic", "1", "--diffusion_ckpt", "",
+                "--respacing", "5", "--iters", "4", "--batch_size", "2",
+                "--past_len", "3", "--future_len", "4",
+                "--out_dir", str(tmp_path)], monkeypatch)
+    out = capsys.readouterr().out
+    assert "penetrate_before" in out and "penetrate_after" in out
+    summary = json.load(open(tmp_path / "summary.json"))
+    assert summary["batches"] == 1
+    assert np.isfinite(summary["penetrate_before"])
+    assert np.isfinite(summary["penetrate_after"])
+    refined = np.load(tmp_path / "refined_1.npz")
+    assert refined["pose"].shape == (2, 7, 156)
+    assert np.isfinite(refined["pose"]).all()
+
+
+def test_eval_smpl_short_mesh_devices(monkeypatch, capsys):
+    """--mesh_devices 2: sampling + FK/metrics sharded over a 2-device data
+    mesh through the production CLI path."""
+    from interdiff_tpu.cli.eval_smpl_short import main
+
+    _run(main, ["--synthetic", "1", "--batch_size", "2",
+                "--diverse_samples", "2", "--diverse_fold", "2",
+                "--respacing", "5", "--mode", "no_correction",
+                "--mesh_devices", "2"], monkeypatch)
+    out = capsys.readouterr().out
+    assert "global_mpjpe" in out and "penetrate" in out
