@@ -48,6 +48,9 @@ class SmplTrackConfig:
     num_layers: int = 8
     latent_usage: str = "memory"
     use_pointnet2: bool = True
+    # 1 = exact CUDA furthest_point_sample order (use when loading
+    # reference-trained diffusion weights); >1 = grouped-parallel FPS
+    fps_groups: int = 16
     past_len: int = 10
     future_len: int = 25
     cond_mask_prob: float = 0.0
@@ -63,7 +66,7 @@ class SmplTrackConfig:
             activation=self.activation, past_len=self.past_len,
             future_len=self.future_len, cond_mask_prob=self.cond_mask_prob,
             latent_usage=self.latent_usage,
-            use_pointnet2=self.use_pointnet2)
+            use_pointnet2=self.use_pointnet2, fps_groups=self.fps_groups)
 
 
 @dataclass(frozen=True)

@@ -75,6 +75,12 @@ class MDMSmpl(nn.Module):
     cond_mask_prob: float = 0.0
     latent_usage: str = "memory"
     use_pointnet2: bool = True
+    # FPS variant for the point-cloud encoder: >1 = grouped-parallel
+    # `hierarchical_fps` (lower latency, the measured default); 1 = exact
+    # CUDA `furthest_point_sample` semantics — REQUIRED when loading
+    # diffusion weights trained with the reference's pointnet2_ops so the
+    # selected keypoints match the training-time selection order
+    fps_groups: int = 16
     # compute dtype for the transformer stacks (params stay f32; set
     # jnp.bfloat16 for MXU-native inference — outputs are cast back to f32
     # so the DDPM math keeps full precision)
@@ -94,7 +100,8 @@ class MDMSmpl(nn.Module):
         self.objEmbedding = nn.Dense(E, name="objEmbedding")
         if self.use_pointnet2:
             self.pcEmbedding = PointNet2Encoder(
-                c_in=1, c_out=E, num_keypoints=1, name="pcEmbedding")
+                c_in=1, c_out=E, num_keypoints=1,
+                fps_groups=self.fps_groups, name="pcEmbedding")
         else:
             self.pcEmbedding = nn.Dense(E, name="pcEmbedding")
         self.positional = PositionalEncoding(E, self.dropout, name="positional")
