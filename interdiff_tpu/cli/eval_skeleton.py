@@ -46,6 +46,9 @@ def main():
                              "eval_skeleton.py:71-80)")
     parser.add_argument("--config", default=None,
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
+    parser.add_argument("--mesh_devices", type=int, default=0,
+                        help="shard the sampling batch over an N-device "
+                             "data mesh (0 = single device)")
     args = parser.parse_args()
     if args.config:
         from interdiff_tpu.data.paths import load_paths
@@ -97,12 +100,28 @@ def main():
             args.correction_ckpt, kind="skeleton")
 
     # encode once per batch, reuse across any repeated sampling
-    sample = jax.jit(make_skeleton_sampler(
+    raw_sample = make_skeleton_sampler(
         cfg, model, diffusion, projector=projector,
         projector_params=projector_params,
-        use_correction=args.mode == "correction", reuse_memory=True))
-    encode = jax.jit(lambda p, sk, op, po, zp: model.apply(
-        p, sk, op, po, zp, method=MDMSkeleton.encode))
+        use_correction=args.mode == "correction", reuse_memory=True)
+    raw_encode = lambda p, sk, op, po, zp: model.apply(  # noqa: E731
+        p, sk, op, po, zp, method=MDMSkeleton.encode)
+    if args.mesh_devices > 1:
+        from interdiff_tpu.parallel.mesh import make_mesh
+        from interdiff_tpu.parallel.sample_parallel import data_parallel_sample
+
+        if len(jax.devices()) < args.mesh_devices:
+            parser.error(f"--mesh_devices {args.mesh_devices} > "
+                         f"{len(jax.devices())} available devices")
+        mesh = make_mesh(data=args.mesh_devices)
+        sample = data_parallel_sample(raw_sample, mesh, n_args=8)
+        encode = data_parallel_sample(raw_encode, mesh, n_args=5,
+                                      replicated_args=(0,))
+        place_batch = sample.place_batch
+    else:
+        sample = jax.jit(raw_sample)
+        encode = jax.jit(raw_encode)
+        place_batch = lambda x: x  # noqa: E731
 
     def batches():
         if args.synthetic:
@@ -145,8 +164,10 @@ def main():
             full = {k: np.asarray(v) for k, v in pred.items()}
             xk = x
             for _ in range(args.rollouts):
-                nb = rollout_batch(xk, jnp.asarray(batch["zero_pose_obj"]),
-                                   cfg)
+                # re-place: rollout_batch outputs carry the previous call's
+                # committed sharding, which the sharded jit would reject
+                nb = place_batch(rollout_batch(
+                    xk, jnp.asarray(batch["zero_pose_obj"]), cfg))
                 key, kk = jax.random.split(key)
                 mem_k, gt_k = encode(params, nb["skeleton"],
                                      nb["obj_points"], nb["poses"],

@@ -69,3 +69,15 @@ def test_eval_smpl_short_mesh_devices(monkeypatch, capsys):
                 "--mesh_devices", "2"], monkeypatch)
     out = capsys.readouterr().out
     assert "global_mpjpe" in out and "penetrate" in out
+
+
+def test_eval_skeleton_mesh_devices(monkeypatch, capsys):
+    """Skeleton eval CLI end-to-end with the batch sharded over a 2-device
+    data mesh (also the first in-process cover of this CLI's glue)."""
+    from interdiff_tpu.cli.eval_skeleton import main
+
+    _run(main, ["--synthetic", "1", "--batch_size", "4",
+                "--respacing", "5", "--mode", "no_correction",
+                "--mesh_devices", "2"], monkeypatch)
+    out = capsys.readouterr().out
+    assert "mpjpe_h" in out and "rotation_error" in out
