@@ -209,13 +209,7 @@ def load_correction_variables(path: str, kind: str = "smpl"):
     or a flat StandardCheckpointer save such as
     ``artifacts/correction_real_params``)."""
     if os.path.isdir(path):
-        import orbax.checkpoint as ocp
-
-        p = os.path.abspath(path)
-        mgr = ocp.CheckpointManager(p)
-        if mgr.latest_step() is not None:
-            return mgr.restore(mgr.latest_step())
-        return ocp.StandardCheckpointer().restore(p)
+        return restore_params(path, None)
     from interdiff_tpu.utils.checkpoint import (
         load_correction_skeleton,
         load_correction_smpl,
@@ -227,16 +221,21 @@ def load_correction_variables(path: str, kind: str = "smpl"):
     return variables
 
 
-def restore_params(ckpt_dir: str, template):
+def restore_params(ckpt_dir: str, template=None):
     """Restore a params pytree from either a CheckpointManager directory
-    (training CLIs) or a flat StandardCheckpointer save (demo scripts)."""
+    (training CLIs) or a flat StandardCheckpointer save (demo scripts).
+    ``template=None`` restores the raw saved tree without shape checking."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(ckpt_dir)
     mgr = ocp.CheckpointManager(path)
     if mgr.latest_step() is not None:
+        if template is None:
+            return mgr.restore(mgr.latest_step())
         return mgr.restore(mgr.latest_step(),
                            args=ocp.args.StandardRestore(template))
+    if template is None:
+        return ocp.StandardCheckpointer().restore(path)
     return ocp.StandardCheckpointer().restore(path, target=template)
 
 

@@ -48,8 +48,11 @@ def main():
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="shard the sampling batch over an N-device "
-                             "data mesh (0 = single device)")
+                             "data mesh (0 = single device); batch_size "
+                             "must divide by N")
     args = parser.parse_args()
+    if args.mesh_devices > 1 and args.batch_size % args.mesh_devices:
+        parser.error("--batch_size must be divisible by --mesh_devices")
     if args.config:
         from interdiff_tpu.data.paths import load_paths
 
@@ -88,7 +91,9 @@ def main():
         jnp.asarray(ex["zero_pose_obj"]), jnp.zeros((2,), jnp.int32),
         method=MDMSkeleton.init_forward)
     if args.diffusion_ckpt:
-        params = _restore_params(args.diffusion_ckpt, params)
+        from interdiff_tpu.cli.common import restore_params
+
+        params = restore_params(args.diffusion_ckpt, params)
 
     projector = projector_params = None
     if args.mode == "correction":
@@ -198,12 +203,6 @@ def main():
                 pred=np.asarray(pred["body"][0]),
                 obj_pred=np.asarray(pred["obj"][0]),
                 past_len=args.past_len)
-
-
-def _restore_params(ckpt_dir, template):
-    from interdiff_tpu.cli.common import restore_params
-
-    return restore_params(ckpt_dir, template)
 
 
 if __name__ == "__main__":

@@ -103,7 +103,9 @@ def main():
         jnp.zeros((2, 256, 6)), jnp.zeros((2,), jnp.int32),
         method=MDMSmpl.init_forward)
     if args.diffusion_ckpt:
-        params = _restore_params(args.diffusion_ckpt, params)
+        from interdiff_tpu.cli.common import restore_params
+
+        params = restore_params(args.diffusion_ckpt, params)
 
     projector = projector_params = None
     if args.mode == "correction":
@@ -165,12 +167,6 @@ def main():
                 np.asarray(full))
         if i >= 2:
             break
-
-
-def _restore_params(ckpt_dir, template):
-    from interdiff_tpu.cli.common import restore_params
-
-    return restore_params(ckpt_dir, template)
 
 
 if __name__ == "__main__":

@@ -48,7 +48,8 @@ def main():
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="shard the sampling + FK/metrics batch over an "
                              "N-device data mesh (0 = single device); "
-                             "batch_size * diverse_fold must divide by N")
+                             "batch_size must divide by N (the gt encode/FK "
+                             "run on the untiled batch)")
     parser.add_argument("--config", default=None,
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
     parser.add_argument("--synthetic", type=int, default=0,
@@ -64,6 +65,9 @@ def main():
         parser.error("--diverse_fold must be a positive integer")
     if args.diverse_samples % args.diverse_fold:
         parser.error("--diverse_fold must divide --diverse_samples")
+    if args.mesh_devices > 1 and args.batch_size % args.mesh_devices:
+        parser.error("--batch_size must be divisible by --mesh_devices "
+                     "(the gt encode/FK run on the untiled batch)")
     if args.config:
         from interdiff_tpu.data.paths import load_paths
 
@@ -119,7 +123,9 @@ def main():
         jnp.zeros((2, 256, 6)), jnp.zeros((2,), jnp.int32),
         method=MDMSmpl.init_forward)
     if args.diffusion_ckpt:
-        params = _restore_params(args.diffusion_ckpt, params)
+        from interdiff_tpu.cli.common import restore_params
+
+        params = restore_params(args.diffusion_ckpt, params)
 
     projector = projector_params = None
     if args.mode == "correction":
@@ -196,6 +202,14 @@ def main():
                            future_len=args.future_len, rng=rng,
                            fields="light")
         args.batch_size = fit_batch_size(len(ds), args.batch_size)
+        if args.mesh_devices > 1 and args.batch_size % args.mesh_devices:
+            # keep the shrunk batch shardable over the data axis
+            args.batch_size -= args.batch_size % args.mesh_devices
+            if args.batch_size == 0:
+                parser.error(f"corpus too small to shard over "
+                             f"{args.mesh_devices} devices")
+            print(f"shrinking batch to {args.batch_size} "
+                  f"(divisible by --mesh_devices)")
         loader = batch_iterator(ds, collate, batch_size=args.batch_size,
                                 rng=rng, shuffle=False)
 
@@ -263,16 +277,12 @@ def main():
             tpl = np.asarray(batch["obj_points"][0, :, :3])
             obj_verts = np.einsum("tij,pj->tpi", rot, tpl) \
                 + np.asarray(obj_s[0, :, None, 3:])
+            # obj_faces=None: the BEHAVE object is a sampled point cloud —
+            # rendered as spheres, like the reference's marker path
             visualize_body_obj(
                 np.asarray(verts_s[0]), np.asarray(smpl.faces), obj_verts,
-                np.zeros((1, 3), np.int32), past_len=args.past_len,
+                None, past_len=args.past_len,
                 save_path=os.path.join(args.render_dir, f"batch{nb}.gif"))
-
-
-def _restore_params(ckpt_dir, template):
-    from interdiff_tpu.cli.common import restore_params
-
-    return restore_params(ckpt_dir, template)
 
 
 if __name__ == "__main__":

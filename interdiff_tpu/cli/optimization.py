@@ -91,7 +91,7 @@ def _run_dataset(args):
     os.makedirs(args.out_dir, exist_ok=True)
 
     cfg = OptimConfig(iters=args.iters,
-                      keep_after=min(150, 3 * args.iters // 4))
+                      keep_after=min(150, args.iters - 2))
     for i in range(len(ds)):
         clip = ds[i]
         gender = "male" if clip["gender"] == 0 else "female"
@@ -198,8 +198,11 @@ def _run_from_samples(args):
         inside = (o2h < 0).reshape(B, Tn, -1).astype(jnp.float32)
         return inside[:, pp:].mean(axis=(1, 2))
 
+    # keep_after must stay below iters-1 or the best-iterate tracker
+    # (take = i > keep_after, eval/optimization.py) never fires and the
+    # refiner silently returns the initial params with best_loss=inf
     ocfg = OptimConfig(iters=args.iters,
-                       keep_after=min(150, 3 * args.iters // 4))
+                       keep_after=min(150, args.iters - 2))
     # lax.map (not vmap): the refiner body stays unbatched — one compile,
     # sequential clips, and no batching rewrite of the HIGHEST-precision
     # rotation matmuls (whose vmap form trips an XLA:CPU verifier bug)
@@ -286,7 +289,9 @@ def _run_synthetic(args):
             obj_trans=jnp.zeros((T, 3)),
             obj_points=jnp.asarray(
                 rng.standard_normal((64, 3)).astype(np.float32) * 0.05),
-            cfg=OptimConfig(iters=args.iters, nn_chunk=None))
+            cfg=OptimConfig(iters=args.iters,
+                            keep_after=min(150, args.iters - 2),
+                            nn_chunk=None))
         np.savez(os.path.join(args.out_dir, f"synthetic_{i}.npz"),
                  **{k: np.asarray(v) for k, v in out.items()})
         print(i, "best_loss", float(out["best_loss"]))

@@ -73,10 +73,17 @@ def render_frame(body_verts: np.ndarray, body_faces: np.ndarray,
     """One already-centered frame -> [h, w] or [h, 4w] uint8 image."""
     body_c = _rgb("light_grey") if past else _rgb("yellow_pale")
     obj_c = _rgb("grey") if past else _rgb("pink")
+    # an object given as a raw point cloud (no faces — e.g. the BEHAVE
+    # template points in the eval CLI) renders as small spheres; degenerate
+    # placeholder faces would otherwise be culled and the object vanish
+    obj_is_cloud = obj_faces is None or np.asarray(obj_faces).size == 0
 
     def one_view(bv, ov, mk):
         meshes = list(ground)
-        meshes.append((ov, obj_faces, obj_c))
+        if obj_is_cloud:
+            meshes.append(_point_sphere_mesh(ov, obj_c))
+        else:
+            meshes.append((ov, obj_faces, obj_c))
         meshes.append((bv, body_faces, body_c))
         if mk is not None:
             meshes.extend(_marker_meshes(mk, past))
@@ -109,6 +116,20 @@ _ICO_F = np.array(
      [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
      [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
      [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]])
+
+
+def _point_sphere_mesh(pts: np.ndarray, color: np.ndarray,
+                       max_points: int = 300, radius: float = 0.012):
+    """Point cloud -> one mesh of small icosahedra (subsampled for speed)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    if pts.shape[0] > max_points:
+        pts = pts[:: int(np.ceil(pts.shape[0] / max_points))]
+    n = pts.shape[0]
+    scale = radius / 0.01  # _ICO_V is pre-scaled to radius 0.01
+    verts = (pts[:, None, :] + scale * _ICO_V[None]).reshape(n * 12, 3)
+    faces = (_ICO_F[None] + 12 * np.arange(n)[:, None, None]
+             ).reshape(n * 20, 3)
+    return (verts, faces, color)
 
 
 def _marker_meshes(markers: np.ndarray, past: bool) -> list:
@@ -163,10 +184,11 @@ def visualize_body_obj(verts: np.ndarray, faces: np.ndarray,
     ex, ez = (maxx - minx) / 2.0, (maxz - minz) / 2.0
     ground = render3d.ground_planes(-ex, ex, -ez, ez)
 
+    of = None if obj_faces is None else np.asarray(obj_faces)
     frames = []
     for i in range(T):
         frames.append(render_frame(
-            body[i], np.asarray(faces), obj[i], np.asarray(obj_faces),
+            body[i], np.asarray(faces), obj[i], of,
             ground, past=(i <= past_len), h=h, w=w,
             multi_angle=multi_angle,
             markers=None if markers is None else markers[i]))

@@ -87,8 +87,10 @@ def _raster_subset(img, zbuf, p, z, col, K: int):
     inside = ((w0 * sgn >= 0) & (w1 * sgn >= 0) & (w2 * sgn >= 0)
               & (np.abs(area)[:, None, None] > 1e-12))
     denom = np.where(np.abs(area) < 1e-12, 1.0, area)[:, None, None]
-    zi = (w0 * z[:, 0, None, None] + w1 * z[:, 1, None, None]
-          + w2 * z[:, 2, None, None]) / denom  # [F,K,K]
+    # perspective-correct depth: 1/z is affine in screen space, z is not
+    inv_z = (w0 / z[:, 0, None, None] + w1 / z[:, 1, None, None]
+             + w2 / z[:, 2, None, None]) / denom  # [F,K,K]
+    zi = 1.0 / np.maximum(inv_z, 1e-12)
 
     ix = np.broadcast_to((x0[:, None] + ar)[:, None, :], zi.shape)
     iy = np.broadcast_to((y0[:, None] + ar)[:, :, None], zi.shape)
@@ -124,7 +126,9 @@ def _raster_one(img, zbuf, p, z, col):
     w2 = _edge(a[0], a[1], b[0], b[1], px, py)
     sgn = np.sign(area)
     inside = (w0 * sgn >= 0) & (w1 * sgn >= 0) & (w2 * sgn >= 0)
-    zi = (w0 * z[0] + w1 * z[1] + w2 * z[2]) / area
+    # perspective-correct depth (1/z affine in screen space)
+    zi = 1.0 / np.maximum(
+        (w0 / z[0] + w1 / z[1] + w2 / z[2]) / area, 1e-12)
     sub_z = zbuf[y0:y1, x0:x1]
     win = inside & (zi < sub_z)
     sub_z[win] = zi[win]

@@ -56,6 +56,9 @@ def test_optimization_cli_from_samples(monkeypatch, tmp_path, capsys):
     refined = np.load(tmp_path / "refined_1.npz")
     assert refined["pose"].shape == (2, 7, 156)
     assert np.isfinite(refined["pose"]).all()
+    # the best-iterate tracker must have fired (keep_after < iters-1);
+    # best_loss=inf would mean the refiner silently returned initial params
+    assert np.isfinite(refined["best_loss"]).all()
 
 
 def test_eval_smpl_short_mesh_devices(monkeypatch, capsys):

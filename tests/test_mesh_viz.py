@@ -131,3 +131,41 @@ def test_ground_planes_two_tone():
     assert np.allclose(v_in[:, 0].max() - v_in[:, 0].min(), 2.0)
     assert c_out.mean() > c_in.mean()
     assert np.allclose(c_in, np.array([189, 195, 199]) / 255.0)
+
+
+def test_point_cloud_object_renders_visible(simple_scene):
+    """obj_faces=None: the object is a raw point cloud and must render as
+    spheres, not vanish (degenerate placeholder faces are culled)."""
+    bodies, bf, cubes, _ = simple_scene
+    video = visualize_body_obj(bodies, bf, cubes, None, past_len=0,
+                               multi_angle=False, h=64, w=64)
+    f2 = video[2].transpose(1, 2, 0).astype(int)
+    # pink-ish object pixels present (future object color, shaded):
+    # r > g > b with a clear r-b gap
+    pinkish = ((f2[..., 0] > f2[..., 1]) & (f2[..., 1] > f2[..., 2])
+               & (f2[..., 0] - f2[..., 2] > 15) & (f2.sum(-1) < 700))
+    assert pinkish.sum() > 3
+
+
+def test_perspective_correct_depth():
+    """Depth must interpolate as 1/z (perspective-correct), not affinely.
+    Scene: a flat wall at camera z=-4 behind a large triangle spanning
+    z=-1..-7.  True z of the near triangle's interior at the image center
+    is ~2.3 (in front of the wall); affine interpolation overestimates it
+    past 4, letting the wall incorrectly win the z-test (verified: the
+    affine variant turns the center pixel wall-blue)."""
+    view = render3d.view_matrix()
+    inv = np.linalg.inv(view)
+
+    def cam2world(v):
+        return v @ inv[:3, :3].T + inv[:3, 3]
+
+    wall = (cam2world(np.array([[-2.5, -2.5, -4.0], [2.5, -2.5, -4.0],
+                                [0.0, 2.5, -4.0]])),
+            np.array([[0, 1, 2]]), np.array([0.2, 0.2, 0.8]))
+    near = (cam2world(np.array([[-2.0, -0.5, -1.0], [2.0, -0.5, -1.0],
+                                [0.0, 0.5, -7.0]])),
+            np.array([[0, 1, 2]]), np.array([0.9, 0.2, 0.2]))
+    img = render3d.render_scene([wall, near], width=96, height=96)
+    c = img[48, 48].astype(int)
+    assert c[0] > c[2], f"near red triangle must win the center z-test: {c}"
