@@ -1,0 +1,70 @@
+"""One hardware attempt at the Pallas NN kernel (VERDICT round-1 item 9).
+
+Tries to lower + execute `nearest_neighbor_pallas` on the real chip at a
+small grid, timing compile and steady-state against the chunked-XLA
+production path.  Mosaic kernels historically stall compiling over the
+axon tunnel; this script logs whichever outcome happens so the attempt is
+documented either way.  Run detached WITHOUT the CPU override:
+
+  (python scripts/pallas_tpu_attempt.py > /tmp/pallas_attempt.log 2>&1 &)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    print("backend:", jax.default_backend(), jax.devices())
+
+    from interdiff_tpu.ops.pallas_nn import nearest_neighbor_pallas
+    from interdiff_tpu.ops.signed_distance import point2point_signed
+
+    rng = np.random.default_rng(0)
+    # small grid first: 8 batch rows, 128 queries, 256 refs
+    for (B, N, M) in [(8, 128, 256), (8, 1024, 2048), (35, 6890, 2048)]:
+        a = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((B, M, 3)), jnp.float32)
+        print(f"--- pallas B={B} N={N} M={M}: compiling...", flush=True)
+        t0 = time.time()
+        d, i = nearest_neighbor_pallas(a, b)
+        jax.block_until_ready((d, i))
+        t_compile = time.time() - t0
+        t0 = time.time()
+        reps = 20
+        for _ in range(reps):
+            d, i = nearest_neighbor_pallas(a, b)
+        jax.block_until_ready((d, i))
+        t_run = (time.time() - t0) / reps
+        print(f"pallas ok: compile {t_compile:.1f}s, run {t_run*1e3:.2f}ms",
+              flush=True)
+
+        # cross-check + baseline: the chunked XLA production path
+        t0 = time.time()
+        o2h, _, idx_x, _ = point2point_signed(b, a, None, None, chunk=512)
+        jax.block_until_ready(o2h)
+        t_xla_c = time.time() - t0
+        t0 = time.time()
+        for _ in range(reps):
+            o2h, _, idx_x, _ = point2point_signed(b, a, None, None,
+                                                  chunk=512)
+        jax.block_until_ready(o2h)
+        t_xla = (time.time() - t0) / reps
+        ok = np.allclose(np.asarray(d), np.asarray(o2h) ** 2, atol=1e-3) \
+            or np.allclose(np.sqrt(np.maximum(np.asarray(d), 0)),
+                           np.abs(np.asarray(o2h)), atol=1e-4)
+        print(f"xla chunked: compile {t_xla_c:.1f}s, run {t_xla*1e3:.2f}ms; "
+              f"values match: {ok}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
