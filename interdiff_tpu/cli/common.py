@@ -230,10 +230,12 @@ def restore_params(ckpt_dir: str, template=None):
     path = os.path.abspath(ckpt_dir)
     mgr = ocp.CheckpointManager(path)
     if mgr.latest_step() is not None:
-        if template is None:
-            return mgr.restore(mgr.latest_step())
-        return mgr.restore(mgr.latest_step(),
-                           args=ocp.args.StandardRestore(template))
+        # an explicit StandardRestore() (even with no target) makes orbax
+        # reconstruct the saved item's full tree from checkpoint metadata;
+        # a bare mgr.restore(step) silently drops the "default" item
+        args = ocp.args.StandardRestore(template) if template is not None \
+            else ocp.args.StandardRestore()
+        return mgr.restore(mgr.latest_step(), args=args)
     if template is None:
         return ocp.StandardCheckpointer().restore(path)
     return ocp.StandardCheckpointer().restore(path, target=template)

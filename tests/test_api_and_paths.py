@@ -40,6 +40,31 @@ def test_fit_batch_size_guards_small_corpora():
     assert fit_batch_size(0, 32) == 32    # empty corpus handled upstream
 
 
+def test_restore_params_manager_layout_without_template(tmp_path):
+    """A CheckpointManager save (the trainers' layout) must restore its
+    full composite tree with template=None — the load path used by
+    load_correction_variables on orbax dirs. A bare mgr.restore(step)
+    silently drops the 'default' item; restore_params must not."""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from interdiff_tpu.cli.common import restore_params
+
+    tree = {"params": {"w": jnp.arange(4.0)},
+            "batch_stats": {"mean": jnp.ones((2,))}}
+    mgr = ocp.CheckpointManager(tmp_path / "ckpt")
+    mgr.save(0, args=ocp.args.StandardSave(tree))
+    mgr.wait_until_finished()
+    mgr.close()
+
+    restored = restore_params(str(tmp_path / "ckpt"), None)
+    assert set(restored) == {"params", "batch_stats"}
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]),
+                               np.arange(4.0))
+    np.testing.assert_allclose(
+        np.asarray(restored["batch_stats"]["mean"]), np.ones((2,)))
+
+
 def test_load_smpl_models_synthetic_body():
     from types import SimpleNamespace
 
