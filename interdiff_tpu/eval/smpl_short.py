@@ -31,7 +31,7 @@ from interdiff_tpu.geometry.rotations import (
 )
 from interdiff_tpu.models.correction import ObjProjectorSmpl
 from interdiff_tpu.models.mdm_smpl import MDMSmpl
-from interdiff_tpu.ops.signed_distance import point2point_signed
+from interdiff_tpu.ops.signed_distance import nearest_neighbor
 from interdiff_tpu.smpl.model import SmplModel, smpl_forward
 
 
@@ -96,25 +96,47 @@ def make_correction_denoised_fn(
         obj_points_pred = (jnp.einsum("btij,bpj->btpi", obj_rot, obj_points)
                            + obj[..., None, -3:])
 
-        normals = vertex_normals(verts, jnp.asarray(smpl.faces))
-        o2h_signed, _, _, _ = point2point_signed(
-            verts, obj_points_pred.reshape(B * T, -1, 3), normals, None,
-            chunk=cfg.nn_chunk)
-        o2h_signed = o2h_signed.reshape(B, T, -1)
+        # penetration gating (`:107-110`) consumes only future frames
+        # (`loss_dist_o[args.past_len:]`), so the expensive obj->verts NN +
+        # normals run on the future slice only; the verts->obj direction of
+        # the reference's bidirectional call is unused here and dropped.
+        Tf = T - cfg.past_len
+        verts_bt = verts.reshape(B, T, -1, 3)
+        verts_fut = verts_bt[:, cfg.past_len:].reshape(B * Tf, -1, 3)
+        obj_fut = obj_points_pred[:, cfg.past_len:].reshape(B * Tf, -1, 3)
+        normals_fut = vertex_normals(verts_fut, np.asarray(smpl.faces))
+        _, oidx = nearest_neighbor(obj_fut, verts_fut, chunk=cfg.nn_chunk)
+        near_v = jnp.take_along_axis(
+            verts_fut, oidx[..., None].repeat(3, -1), axis=-2)
+        near_n = jnp.take_along_axis(
+            normals_fut, oidx[..., None].repeat(3, -1), axis=-2)
+        o2h_vec = obj_fut - near_v
+        o2h_signed = (jnp.linalg.norm(o2h_vec, axis=-1)
+                      * jnp.sign(jnp.sum(near_n * o2h_vec, axis=-1))
+                      ).reshape(B, Tf, -1)
 
         w = jnp.where(o2h_signed < 0, 20.0, 0.0)  # (`:107-110`)
-        loss_dist_o = jnp.abs(o2h_signed) * w  # [B, T, P]
+        loss_dist_o = jnp.abs(o2h_signed) * w  # [B, Tf, P]
 
-        # marker <-> object-point distances [B, T, P, M]
-        d = jnp.linalg.norm(
-            markers[:, :, None] - obj_points_pred[:, :, :, None], axis=-1)
-        distance = d.min(axis=3).min(axis=2).mean(axis=1)  # [B]
+        # marker <-> object-point distances: the reference materialises a
+        # [T,B,P,M] norm tensor twice; min-over-P per marker is just a
+        # 67-query nearest-neighbour against the 2048 points
+        md2, midx = nearest_neighbor(
+            markers.reshape(B * T, -1, 3),
+            obj_points_pred.reshape(B * T, -1, 3), chunk=cfg.nn_chunk)
+        near_p = jnp.take_along_axis(
+            obj_points_pred.reshape(B * T, -1, 3),
+            midx[..., None].repeat(3, -1), axis=-2)
+        marker_d = jnp.linalg.norm(
+            markers.reshape(B * T, -1, 3) - near_p, axis=-1
+        ).reshape(B, T, -1)  # [B, T, M]
+        distance = marker_d.min(axis=2).mean(axis=1)  # [B]
         good = jnp.logical_and(
-            loss_dist_o[:, cfg.past_len:].mean(axis=(1, 2)) < 0.002,
+            loss_dist_o.mean(axis=(1, 2)) < 0.002,
             distance < 0.02)
         condition = jnp.logical_not(good)  # [B] True -> apply correction
 
-        contact_label = (d < 0.02).any(axis=2)  # [B, T, M]
+        contact_label = marker_d < 0.02  # [B, T, M]
         contact = contact_label[:, cfg.past_len:].sum(axis=1)  # [B, M]
 
         # projector consumes the *gt* object stream (future frames padded

@@ -4,27 +4,88 @@ Equivalent to the reference's scatter-add implementation
 (`interdiff/data/tools.py:4-40`): for every face each corner accumulates the
 cross product of its two outgoing edges, then normals are L2-normalised with
 eps 1e-6 (``F.normalize`` clamps the denominator from below).
+
+TPU note: the three corner contributions of a triangle are the *same*
+vector in exact arithmetic — for corners (v0,v1,v2) with a=v1-v0, b=v2-v0,
+the reference's e1=(v2-v1)x(v0-v1) and e2=(v0-v2)x(v1-v2) both reduce to
+a x b.  So the accumulation is "each vertex sums the face normals of its
+incident faces", and with a static face list it lowers to K dense gathers
+over a precomputed [V, K] incidence table (K = max vertex degree) instead
+of three scatter-adds — scatters serialise badly on TPU and dominated the
+correction-in-scan profile.  The scatter formulation is kept as the
+fallback for traced face arrays.
 """
 
 from __future__ import annotations
 
+import hashlib
+from typing import Dict, Tuple
+
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# faces-digest -> (num_verts, [V, K] int32 incident-face ids, padded with F)
+_INCIDENCE_CACHE: Dict[Tuple[str, int], np.ndarray] = {}
 
 
-def vertex_normals(vertices: jax.Array, faces: jax.Array) -> jax.Array:
+def _face_incidence(faces: np.ndarray, num_verts: int) -> np.ndarray:
+    """[V, K] ids of the faces incident to each vertex (pad value = F)."""
+    key = (hashlib.sha1(faces.tobytes()).hexdigest(), num_verts)
+    cached = _INCIDENCE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    F = faces.shape[0]
+    flat = faces.reshape(-1).astype(np.int64)  # corner c of face f at 3f+c
+    order = np.argsort(flat, kind="stable")
+    sorted_v = flat[order]
+    sorted_f = (order // 3).astype(np.int32)
+    counts = np.bincount(flat, minlength=num_verts)
+    K = int(counts.max()) if counts.size else 0
+    starts = np.zeros(num_verts, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    pos = np.arange(flat.size, dtype=np.int64) - starts[sorted_v]
+    incident = np.full((num_verts, max(K, 1)), F, dtype=np.int32)
+    incident[sorted_v, pos] = sorted_f
+    _INCIDENCE_CACHE[key] = incident
+    return incident
+
+
+def vertex_normals(vertices: jax.Array, faces) -> jax.Array:
     """Compute per-vertex normals.
 
     Args:
       vertices: [..., V, 3] float array.
       faces: [F, 3] int array (shared across the batch; the reference tiles
-        the same face list per batch element).
+        the same face list per batch element).  A concrete (numpy or
+        non-traced jax) array enables the fast gather path.
 
     Returns:
       [..., V, 3] unit normals.
     """
     batch_shape = vertices.shape[:-2]
     v = vertices.reshape((-1,) + vertices.shape[-2:])  # [B, V, 3]
+
+    faces_np = None
+    if isinstance(faces, np.ndarray):
+        faces_np = faces
+    elif isinstance(faces, jax.Array) and not isinstance(
+            faces, jax.core.Tracer):
+        faces_np = np.asarray(faces)
+
+    if faces_np is not None:
+        incident = _face_incidence(faces_np, v.shape[-2])  # [V, K]
+        tri = v[:, faces_np]  # [B, F, 3, 3]
+        fn = jnp.cross(tri[:, :, 1] - tri[:, :, 0],
+                       tri[:, :, 2] - tri[:, :, 0])  # [B, F, 3]
+        fn = jnp.concatenate(
+            [fn, jnp.zeros(fn.shape[:1] + (1, 3), fn.dtype)], axis=1)
+        n = fn[:, incident[:, 0]]
+        for k in range(1, incident.shape[1]):
+            n = n + fn[:, incident[:, k]]
+        norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+        out = n / jnp.maximum(norm, 1e-6)
+        return out.reshape(batch_shape + vertices.shape[-2:])
 
     def one(verts):
         tri = verts[faces]  # [F, 3, 3]

@@ -96,6 +96,44 @@ def nearest_neighbor_pallas(a: jax.Array, b: jax.Array, *,
     return dist, idx[:B, :N]
 
 
+_FORCE_INTERPRET = False  # tests flip this to exercise the VJP off-TPU
+
+
+@jax.custom_vjp
+def nearest_neighbor_pallas_diff(a: jax.Array, b: jax.Array
+                                 ) -> Tuple[jax.Array, jax.Array]:
+    """Differentiable wrapper around the Pallas NN kernel.
+
+    Pallas calls don't support reverse-mode autodiff, but the true gradient
+    is simple: ``sq_dist = |a - b[idx]|^2`` with ``idx`` piecewise-constant,
+    so d/da = 2(a - b[idx]) and d/db scatters the negation at idx.  Needed
+    by every consumer that differentiates through `point2point_signed`
+    (correction training, post-hoc optimization)."""
+    return nearest_neighbor_pallas(a, b, interpret=_FORCE_INTERPRET)
+
+
+def _nn_diff_fwd(a, b):
+    d, i = nearest_neighbor_pallas(a, b, interpret=_FORCE_INTERPRET)
+    return (d, i), (a, b, i)
+
+
+def _nn_diff_bwd(res, cotangents):
+    a, b, i = res
+    gd, _ = cotangents  # integer idx output carries no gradient
+    b_near = jnp.take_along_axis(
+        b, i[..., None].astype(jnp.int32).repeat(b.shape[-1], -1), axis=-2)
+    ga = 2.0 * gd[..., None] * (a - b_near)
+
+    def scatter_one(bb, ii, gg):
+        return jnp.zeros_like(bb).at[ii].add(gg)
+
+    gb = jax.vmap(scatter_one)(b, i, -ga)
+    return ga, gb
+
+
+nearest_neighbor_pallas_diff.defvjp(_nn_diff_fwd, _nn_diff_bwd)
+
+
 def on_tpu() -> bool:
     """True on a TPU backend (the axon tunnel also reports platform 'tpu'
     and lowers this kernel fine — measured 0.8-2s Mosaic compiles and

@@ -72,13 +72,15 @@ def nearest_neighbor(a: jax.Array, b: jax.Array, *,
 
             use_pallas = on_tpu()
         if use_pallas:
-            from interdiff_tpu.ops.pallas_nn import nearest_neighbor_pallas
+            from interdiff_tpu.ops.pallas_nn import (
+                nearest_neighbor_pallas_diff,
+            )
 
             batch_shape = a.shape[:-2]
             a3 = a.reshape((-1,) + a.shape[-2:])
             b3 = jnp.broadcast_to(
                 b, batch_shape + b.shape[-2:]).reshape((-1,) + b.shape[-2:])
-            d, i = nearest_neighbor_pallas(a3, b3)
+            d, i = nearest_neighbor_pallas_diff(a3, b3)
             return (d.reshape(batch_shape + (a.shape[-2],)),
                     i.reshape(batch_shape + (a.shape[-2],)))
     P2 = b.shape[-2]

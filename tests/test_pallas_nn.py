@@ -27,3 +27,31 @@ def test_pallas_nn_exact_on_duplicates(rng):
     d, i = nearest_neighbor_pallas(a, b, tile_a=8, interpret=True)
     np.testing.assert_array_equal(np.asarray(i), 0)
     np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+
+def test_pallas_nn_custom_vjp_matches_xla_grad(rng, monkeypatch):
+    """The custom VJP (gradient through the gathered nearest point) must
+    match the gradient XLA derives for the dense min/argmin formulation —
+    correction training and post-hoc optimization differentiate through
+    point2point_signed, whose TPU path is the Pallas kernel."""
+    import interdiff_tpu.ops.pallas_nn as pn
+
+    monkeypatch.setattr(pn, "_FORCE_INTERPRET", True)
+    B, N, M = 2, 40, 24
+    a = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((B, M, 3)).astype(np.float32))
+
+    def loss_xla(a, b):
+        d, _ = nearest_neighbor(a, b, chunk=None, use_pallas=False)
+        return jnp.sum(jnp.sin(d))
+
+    def loss_pal(a, b):
+        d, _ = pn.nearest_neighbor_pallas_diff(a, b)
+        return jnp.sum(jnp.sin(d))
+
+    ga_ref, gb_ref = jax.grad(loss_xla, argnums=(0, 1))(a, b)
+    ga_pal, gb_pal = jax.grad(loss_pal, argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(np.asarray(ga_pal), np.asarray(ga_ref),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb_pal), np.asarray(gb_ref),
+                               atol=1e-4)

@@ -163,3 +163,68 @@ def test_sampler_variants_and_memory_reuse(rng):
         np.testing.assert_allclose(np.asarray(x[:, :3]),
                                    np.asarray(gt[:, :3]), atol=1e-4,
                                    err_msg=name)
+
+
+def test_correction_gating_matches_naive_broadcast(rng):
+    """The optimized gating math inside `correct` (future-only obj->verts
+    NN + 67-query marker NN) must equal the reference's naive formulation
+    (bidirectional point2point_signed over all frames + the [B,T,P,M]
+    broadcast norm tensor, `eval_smpl_short.py:107-125`)."""
+    from interdiff_tpu.geometry.normals import vertex_normals
+    from interdiff_tpu.ops.signed_distance import (
+        nearest_neighbor,
+        point2point_signed,
+    )
+
+    B, T, past, V, P, M = 3, 7, 3, 40, 24, 11
+    Tf = T - past
+    faces = np.stack([np.arange(V - 2), np.arange(1, V - 1),
+                      np.arange(2, V)], axis=1).astype(np.int32)
+    verts = jnp.asarray(rng.standard_normal((B, T, V, 3)).astype(np.float32))
+    obj = jnp.asarray(rng.standard_normal((B, T, P, 3)).astype(np.float32))
+    midx = np.sort(rng.choice(V, size=M, replace=False))
+    markers = verts[:, :, midx]
+
+    # --- naive reference formulation ---
+    normals_all = vertex_normals(verts.reshape(B * T, V, 3), faces)
+    o2h_all, _, _, _ = point2point_signed(
+        verts.reshape(B * T, V, 3), obj.reshape(B * T, P, 3),
+        normals_all, None, chunk=None)
+    o2h_all = o2h_all.reshape(B, T, P)
+    d = jnp.linalg.norm(markers[:, :, None] - obj[:, :, :, None], axis=-1)
+    # d: [B, T, P, M]
+    distance_naive = d.min(axis=3).min(axis=2).mean(axis=1)
+    contact_naive = (d < 0.02).any(axis=2)
+    loss_naive = (jnp.abs(o2h_all) * jnp.where(o2h_all < 0, 20.0, 0.0)
+                  )[:, past:].mean(axis=(1, 2))
+
+    # --- optimized formulation (as in eval/smpl_short.correct) ---
+    verts_fut = verts[:, past:].reshape(B * Tf, V, 3)
+    obj_fut = obj[:, past:].reshape(B * Tf, P, 3)
+    normals_fut = vertex_normals(verts_fut, faces)
+    _, oidx = nearest_neighbor(obj_fut, verts_fut, chunk=None)
+    near_v = jnp.take_along_axis(verts_fut, oidx[..., None].repeat(3, -1),
+                                 axis=-2)
+    near_n = jnp.take_along_axis(normals_fut, oidx[..., None].repeat(3, -1),
+                                 axis=-2)
+    vec = obj_fut - near_v
+    o2h_fut = (jnp.linalg.norm(vec, axis=-1)
+               * jnp.sign(jnp.sum(near_n * vec, axis=-1))).reshape(B, Tf, P)
+    loss_opt = (jnp.abs(o2h_fut)
+                * jnp.where(o2h_fut < 0, 20.0, 0.0)).mean(axis=(1, 2))
+
+    md2, pidx = nearest_neighbor(markers.reshape(B * T, M, 3),
+                                 obj.reshape(B * T, P, 3), chunk=None)
+    near_p = jnp.take_along_axis(obj.reshape(B * T, P, 3),
+                                 pidx[..., None].repeat(3, -1), axis=-2)
+    marker_d = jnp.linalg.norm(markers.reshape(B * T, M, 3) - near_p,
+                               axis=-1).reshape(B, T, M)
+    distance_opt = marker_d.min(axis=2).mean(axis=1)
+    contact_opt = marker_d < 0.02
+
+    np.testing.assert_allclose(np.asarray(loss_naive), np.asarray(loss_opt),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(distance_naive),
+                               np.asarray(distance_opt), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(contact_naive),
+                                  np.asarray(contact_opt))
