@@ -342,6 +342,60 @@ def measure_tpu_correction() -> float:
     return B * n_rep / dt
 
 
+def measure_tpu_train() -> float:
+    """INTERDIFF_BENCH_TRAIN=1: SMPL-MDM diffusion training step (the full
+    16-term loss pyramid + AdamW, `train/trainer.py::make_smpl_train_step`)
+    at the reference config (B=32, T=35, 1000-step schedule) on synthetic
+    data.  Returns steps/sec (1 step = B clips)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from interdiff_tpu.diffusion.gaussian import GaussianDiffusion
+    from interdiff_tpu.models.mdm_smpl import MDMSmpl
+    from interdiff_tpu.train.trainer import (
+        TrainState,
+        adamw,
+        make_smpl_train_step,
+    )
+
+    rng = np.random.default_rng(233)
+    P = int(os.environ.get("INTERDIFF_BENCH_POINTS", "1024"))
+    model = MDMSmpl()
+    diffusion = GaussianDiffusion.create_named(steps=1000)
+    batch = {
+        "body_pose": jnp.asarray(
+            rng.standard_normal((B, T, 156)).astype(np.float32) * 0.2),
+        "body_trans": jnp.asarray(
+            rng.standard_normal((B, T, 3)).astype(np.float32)),
+        "obj_angles": jnp.asarray(
+            rng.standard_normal((B, T, 3)).astype(np.float32) * 0.2),
+        "obj_trans": jnp.asarray(
+            rng.standard_normal((B, T, 3)).astype(np.float32)),
+        "obj_points": jnp.asarray(
+            rng.standard_normal((B, P, 6)).astype(np.float32)),
+    }
+    gt_probe = jnp.zeros((B, T, 144), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), gt_probe,
+                        batch["obj_points"], jnp.zeros((B,), jnp.int32),
+                        method=MDMSmpl.init_forward)
+    state = TrainState.create(params, adamw(3e-4))
+    step = jax.jit(make_smpl_train_step(model, diffusion), donate_argnums=0)
+
+    key = jax.random.PRNGKey(1)
+    state, _ = step(state, batch, key)  # compile
+    jax.block_until_ready(state.params)
+    n_rep = 20
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(state.params)
+    return n_rep / (time.perf_counter() - t0)
+
+
 def _load_or_measure_baseline() -> float:
     """torch-CPU baseline, measured once and cached.  Key
     ``torch_cpu_true_arch_seq_per_sec`` is the reference QaN architecture
@@ -366,6 +420,16 @@ def _load_or_measure_baseline() -> float:
 
 
 def main():
+    if os.environ.get("INTERDIFF_BENCH_TRAIN") == "1":
+        steps_s = measure_tpu_train()
+        print(json.dumps({
+            "metric": "SMPL-MDM train steps/sec/chip (B=32, 16-term loss)",
+            "value": round(steps_s, 3),
+            "unit": "steps/s/chip",
+            "vs_baseline": round(steps_s * B, 1),  # clips/sec
+        }))
+        return
+
     baseline = _load_or_measure_baseline()
     if os.environ.get("INTERDIFF_BENCH_CORRECTION") == "1":
         throughput = measure_tpu_correction()
