@@ -37,6 +37,13 @@ def main():
                              "shipped in this image)")
     parser.add_argument("--config", default=None,
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
+    parser.add_argument("--w_contact", type=float, default=None,
+                        help="contact loss weight (default: reference 1.0). "
+                        "With --synthetic_body the GT object placement "
+                        "penetrates the stand-in body, so the physics terms "
+                        "fight reconstruction — scale them down")
+    parser.add_argument("--w_penetration", type=float, default=None,
+                        help="penetration loss weight (default: ref 0.1)")
     from interdiff_tpu.cli.common import add_profiler_args
 
     add_profiler_args(parser)
@@ -54,6 +61,7 @@ def main():
 
     from interdiff_tpu.cli.common import (
         batch_iterator,
+        fit_batch_size,
         make_mesh,
         seed_everything,
         synthetic_smpl_batches,
@@ -78,12 +86,24 @@ def main():
                                contact)
     state = CorrectionTrainState.create(variables, optax.adam(args.lr))
     mesh = make_mesh()
+    weights = None
+    if args.w_contact is not None or args.w_penetration is not None:
+        from interdiff_tpu.train.losses_correction import (
+            CorrectionLossWeights,
+        )
+
+        defaults = CorrectionLossWeights()
+        weights = CorrectionLossWeights(
+            contact=defaults.contact if args.w_contact is None
+            else args.w_contact,
+            penetration=defaults.penetration if args.w_penetration is None
+            else args.w_penetration)
     # initialize (< epoch 10) and main phases compile separately — the
     # mean-marker switch is structural (`train_correction_smpl.py:188`)
     step_init = data_parallel_step(make_correction_smpl_train_step(
-        projector, initialize=True), mesh, extra_args=2)
+        projector, weights=weights, initialize=True), mesh, extra_args=2)
     step_main = data_parallel_step(make_correction_smpl_train_step(
-        projector, initialize=False), mesh, extra_args=2)
+        projector, weights=weights, initialize=False), mesh, extra_args=2)
 
     from interdiff_tpu.cli.common import snapshot_sources
 
@@ -92,14 +112,15 @@ def main():
     logger = MetricsLogger(os.path.join(args.results_dir, "metrics.jsonl"))
     key = jax.random.PRNGKey(args.seed)
 
-    def epoch_batches():
-        if args.synthetic:
-            return synthetic_smpl_batches(
-                rng, batch_size=args.batch_size, seq_len=T,
-                steps=args.synthetic)
+    # build the corpus ONCE — clip-window jitter happens per __getitem__,
+    # so reusing the dataset across epochs keeps the reference's jitter
+    # semantics while skipping a full sequence reload per epoch (the 40-
+    # window staged corpus gives 2 steps/epoch at B=16; reloading per epoch
+    # made data prep dominate the step time on the one-core host)
+    _ds = None
+    if not args.synthetic:
         from interdiff_tpu.data.behave import (
             BehaveDataset,
-            collate,
             load_behave_sequences,
         )
         from interdiff_tpu.cli.common import load_smpl_models
@@ -107,9 +128,18 @@ def main():
         smpl_models = load_smpl_models(args)
         seqs = load_behave_sequences(args.motion_path,
                                      smpl_models=smpl_models, mode="train")
-        ds = BehaveDataset(seqs, past_len=args.past_len,
-                           future_len=args.future_len, rng=rng)
-        return batch_iterator(ds, collate, batch_size=args.batch_size,
+        _ds = BehaveDataset(seqs, past_len=args.past_len,
+                            future_len=args.future_len, rng=rng)
+        args.batch_size = fit_batch_size(len(_ds), args.batch_size)
+
+    def epoch_batches():
+        if args.synthetic:
+            return synthetic_smpl_batches(
+                rng, batch_size=args.batch_size, seq_len=T,
+                steps=args.synthetic)
+        from interdiff_tpu.data.behave import collate
+
+        return batch_iterator(_ds, collate, batch_size=args.batch_size,
                               rng=rng)
 
     keep = ("obj_angles", "obj_trans", "markers", "human_verts", "obj_points")

@@ -1,0 +1,133 @@
+"""Time each subgraph of the correction denoised_fn at bench shapes.
+
+The correction-in-scan bench (`INTERDIFF_BENCH_CORRECTION=1`) costs
+~113 ms/seq on top of plain sampling, i.e. ~331 ms per activation at B=32
+(11 activations on the 100-step schedule).  This script times the pieces
+of `eval/smpl_short.make_correction_denoised_fn` in isolation on the real
+chip so optimization effort lands on the actual hot op.
+
+Run on the chip (no platform override):
+    python scripts/profile_correction_parts.py [--body_v 6890 --points 2048]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from interdiff_tpu.cli.common import synthetic_smpl_body  # noqa: E402
+from interdiff_tpu.geometry.normals import vertex_normals  # noqa: E402
+from interdiff_tpu.geometry.rotations import (  # noqa: E402
+    matrix_to_axis_angle,
+    rotation_6d_to_matrix,
+)
+from interdiff_tpu.models.correction import ObjProjectorSmpl  # noqa: E402
+from interdiff_tpu.ops.signed_distance import nearest_neighbor  # noqa: E402
+from interdiff_tpu.smpl.model import smpl_forward  # noqa: E402
+from interdiff_tpu.utils.checkpoint import load_correction_smpl  # noqa: E402
+
+
+def bench(name, fn, *args, reps=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps * 1e3
+    print(f"{name:32s} {dt:8.2f} ms")
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--body_v", type=int, default=6890)
+    ap.add_argument("--points", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--past", type=int, default=10)
+    ap.add_argument("--future", type=int, default=25)
+    args = ap.parse_args()
+
+    B, T, V, P = args.batch, args.past + args.future, args.body_v, args.points
+    Tf = args.future
+    rng = np.random.default_rng(0)
+    smpl = synthetic_smpl_body(rng, num_verts=V)
+    faces = np.asarray(smpl.faces)
+
+    body6 = jnp.asarray(rng.standard_normal((B, T, 22, 6)), jnp.float32)
+    obj6 = jnp.asarray(rng.standard_normal((B, T, 6)), jnp.float32)
+    pose_full = jnp.asarray(rng.standard_normal((B * T, 156)) * 0.2,
+                            jnp.float32)
+    betas = jnp.zeros((B * T, 10), jnp.float32)
+    trans = jnp.asarray(rng.standard_normal((B * T, 3)), jnp.float32)
+    verts_fut = jnp.asarray(rng.standard_normal((B * Tf, V, 3)), jnp.float32)
+    obj_fut = jnp.asarray(rng.standard_normal((B * Tf, P, 3)), jnp.float32)
+    markers = jnp.asarray(rng.standard_normal((B * T, 67, 3)), jnp.float32)
+    obj_pts_bt = jnp.asarray(rng.standard_normal((B * T, P, 3)), jnp.float32)
+
+    print(f"shapes: B={B} T={T} Tf={Tf} V={V} P={P}")
+    total = 0.0
+    total += bench("rot6d->matrix+aa (body)", jax.jit(
+        lambda b: matrix_to_axis_angle(rotation_6d_to_matrix(b))), body6)
+    total += bench("smpl_forward (B*T bodies)", jax.jit(
+        lambda p, be, tr: smpl_forward(smpl, p, be, tr)[0]),
+        pose_full, betas, trans)
+    total += bench("vertex_normals (future)", jax.jit(
+        lambda v: vertex_normals(v, faces)), verts_fut)
+    total += bench("o2h NN (P queries x V)", jax.jit(
+        lambda a, b: nearest_neighbor(a, b, chunk=512)), obj_fut, verts_fut)
+    total += bench("marker NN (67 x P)", jax.jit(
+        lambda a, b: nearest_neighbor(a, b, chunk=512)), markers, obj_pts_bt)
+
+    projector = ObjProjectorSmpl()
+    pp, _ = load_correction_smpl()
+    contact = jnp.zeros((B, 67), jnp.float32)
+    obj9 = jnp.concatenate([obj6, trans.reshape(B, T, 3)], axis=-1)
+    total += bench("projector.sample", jax.jit(
+        lambda o, m, c: projector.apply(
+            pp, o, m.reshape(B, T, 67, 3), c,
+            method=ObjProjectorSmpl.sample)), obj9, markers, contact)
+
+    # the gathers the parts above skip
+    oidx = jnp.asarray(rng.integers(0, V, (B * Tf, P)), jnp.int32)
+    total += bench("take_along_axis x2 (near_v/n)", jax.jit(
+        lambda v, i: (jnp.take_along_axis(v, i[..., None].repeat(3, -1),
+                                          axis=-2),
+                      jnp.take_along_axis(v, i[..., None].repeat(3, -1),
+                                          axis=-2))), verts_fut, oidx)
+    print(f"{'TOTAL (one activation)':32s} {total:8.2f} ms")
+
+    # ground truth: the FULL denoised_fn exactly as compiled into the scan
+    from interdiff_tpu.eval.smpl_short import (
+        SmplEvalConfig, make_correction_denoised_fn)
+
+    cfg = SmplEvalConfig(correction_t_max=50, correction_every=5)
+    gt = jnp.asarray(rng.standard_normal((B, T, 144)), jnp.float32)
+    hand = jnp.asarray(rng.standard_normal((B, T, 90)), jnp.float32)
+    markers_idx = np.linspace(0, V - 1, 67).astype(np.int32)
+    obj_pts3 = jnp.asarray(rng.standard_normal((B, P, 3)), jnp.float32)
+    dfn = make_correction_denoised_fn(
+        cfg, smpl, projector, pp, gt=gt, hand_pose=hand,
+        betas=betas.reshape(B, T, 10), obj_points=obj_pts3,
+        markers_idx=markers_idx)
+    x = jnp.asarray(rng.standard_normal((B, T, 144)), jnp.float32)
+    t_active = jnp.full((B,), 50, jnp.int32)
+    t_idle = jnp.full((B,), 51, jnp.int32)
+    jfn = jax.jit(dfn)
+    bench("FULL denoised_fn (active)", jfn, x, t_active)
+    bench("FULL denoised_fn (idle)", jfn, x, t_idle)
+
+
+if __name__ == "__main__":
+    main()
