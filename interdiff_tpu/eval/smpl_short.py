@@ -31,7 +31,7 @@ from interdiff_tpu.geometry.rotations import (
 )
 from interdiff_tpu.models.correction import ObjProjectorSmpl
 from interdiff_tpu.models.mdm_smpl import MDMSmpl
-from interdiff_tpu.ops.signed_distance import nearest_neighbor
+from interdiff_tpu.ops.signed_distance import nearest_neighbor, signed_nearest
 from interdiff_tpu.smpl.model import SmplModel, smpl_forward
 
 
@@ -104,15 +104,13 @@ def make_correction_denoised_fn(
         verts_bt = verts.reshape(B, T, -1, 3)
         verts_fut = verts_bt[:, cfg.past_len:].reshape(B * Tf, -1, 3)
         obj_fut = obj_points_pred[:, cfg.past_len:].reshape(B * Tf, -1, 3)
+        # fused NN + inside/outside test: one Pallas sweep returns both the
+        # squared distance and the pseudonormal dot at the argmin — no
+        # argmin-index gathers (they cost more than the NN itself on v5e)
         normals_fut = vertex_normals(verts_fut, np.asarray(smpl.faces))
-        _, oidx = nearest_neighbor(obj_fut, verts_fut, chunk=cfg.nn_chunk)
-        near_v = jnp.take_along_axis(
-            verts_fut, oidx[..., None].repeat(3, -1), axis=-2)
-        near_n = jnp.take_along_axis(
-            normals_fut, oidx[..., None].repeat(3, -1), axis=-2)
-        o2h_vec = obj_fut - near_v
-        o2h_signed = (jnp.linalg.norm(o2h_vec, axis=-1)
-                      * jnp.sign(jnp.sum(near_n * o2h_vec, axis=-1))
+        o2h_sq, o2h_dot = signed_nearest(
+            obj_fut, verts_fut, normals_fut, chunk=cfg.nn_chunk)
+        o2h_signed = (jnp.sqrt(o2h_sq) * jnp.sign(o2h_dot)
                       ).reshape(B, Tf, -1)
 
         w = jnp.where(o2h_signed < 0, 20.0, 0.0)  # (`:107-110`)
@@ -120,16 +118,13 @@ def make_correction_denoised_fn(
 
         # marker <-> object-point distances: the reference materialises a
         # [T,B,P,M] norm tensor twice; min-over-P per marker is just a
-        # 67-query nearest-neighbour against the 2048 points
-        md2, midx = nearest_neighbor(
+        # 67-query nearest-neighbour against the 2048 points, and the
+        # gather+renorm of the nearest point is redundant — the NN already
+        # returns the squared distance
+        md2, _ = nearest_neighbor(
             markers.reshape(B * T, -1, 3),
             obj_points_pred.reshape(B * T, -1, 3), chunk=cfg.nn_chunk)
-        near_p = jnp.take_along_axis(
-            obj_points_pred.reshape(B * T, -1, 3),
-            midx[..., None].repeat(3, -1), axis=-2)
-        marker_d = jnp.linalg.norm(
-            markers.reshape(B * T, -1, 3) - near_p, axis=-1
-        ).reshape(B, T, -1)  # [B, T, M]
+        marker_d = jnp.sqrt(jnp.maximum(md2, 0.0)).reshape(B, T, -1)
         distance = marker_d.min(axis=2).mean(axis=1)  # [B]
         good = jnp.logical_and(
             loss_dist_o.mean(axis=(1, 2)) < 0.002,

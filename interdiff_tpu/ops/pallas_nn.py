@@ -96,6 +96,89 @@ def nearest_neighbor_pallas(a: jax.Array, b: jax.Array, *,
     return dist, idx[:B, :N]
 
 
+def _signed_nn_kernel(a_ref, bt_ref, nt_ref, dist_ref, sdot_ref):
+    """NN + pseudonormal dot at the argmin, fused.
+
+    For each query a: j* = argmin_j |a - b_j|^2 and
+    sdot = n_{j*} . (a - b_{j*}).  Computing sdot in-kernel removes the
+    two [batch, N, 3] take_along_axis gathers the eval path otherwise
+    needs (measured 70 ms at 800x2048-from-6890 on v5e — more than the NN
+    itself); the sign of sdot is the inside/outside test of
+    `point2point_signed` and |a - b_{j*}| is just sqrt(dist)."""
+    for r in range(_BB):  # unrolled: 2D ops only (see _nn_kernel notes)
+        a = a_ref[r]  # [TA, 3]
+        bt = bt_ref[r]  # [3, M]
+        nt = nt_ref[r]  # [3, M]
+        b2 = jnp.sum(bt * bt, axis=0, keepdims=True)  # [1, M]
+        acc = a[:, 0:1] * bt[0:1, :]
+        acc = acc + a[:, 1:2] * bt[1:2, :]
+        acc = acc + a[:, 2:3] * bt[2:3, :]  # [TA, M]
+        scores = b2 - 2.0 * acc
+        nb = jnp.sum(nt * bt, axis=0, keepdims=True)  # [1, M]
+        na = a[:, 0:1] * nt[0:1, :]
+        na = na + a[:, 1:2] * nt[1:2, :]
+        na = na + a[:, 2:3] * nt[2:3, :]  # [TA, M]
+        s = na - nb  # n_j . (a - b_j) per candidate
+        amin = jnp.argmin(scores, axis=-1).astype(jnp.int32)  # [TA]
+        iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        dist_ref[r] = jnp.min(scores, axis=-1)
+        # first-occurrence argmin selection == take_along_axis semantics
+        sdot_ref[r] = jnp.sum(
+            jnp.where(iota == amin[:, None], s, 0.0), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_a", "interpret"))
+def signed_nearest_pallas(a: jax.Array, b: jax.Array, n: jax.Array, *,
+                          tile_a: int = 128,
+                          interpret: bool = False
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """a: [B, N, 3] queries, b: [B, M, 3] surface points, n: [B, M, 3]
+    (pseudo)normals -> (sq_dist [B, N], sdot [B, N]) with
+    ``sdot = n[argmin] . (a - b[argmin])`` (sign < 0 means inside)."""
+    B, N, _ = a.shape
+    M = b.shape[1]
+    b_pad = (-B) % _BB
+    n_pad = (-N) % tile_a
+    if b_pad or n_pad:
+        a_padded = jnp.pad(a, ((0, b_pad), (0, n_pad), (0, 0)))
+    else:
+        a_padded = a
+    bt = jnp.swapaxes(jnp.pad(b, ((0, b_pad), (0, 0), (0, 0)))
+                      if b_pad else b, 1, 2)  # [Bp, 3, M]
+    nt = jnp.swapaxes(jnp.pad(n, ((0, b_pad), (0, 0), (0, 0)))
+                      if b_pad else n, 1, 2)  # [Bp, 3, M]
+    Bp, Np = B + b_pad, N + n_pad
+
+    grid = (Bp // _BB, Np // tile_a)
+    dist_part, sdot = pl.pallas_call(
+        _signed_nn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BB, tile_a, 3), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BB, 3, M), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BB, 3, M), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BB, tile_a), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BB, tile_a), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, Np), jnp.float32),
+        ],
+        interpret=interpret,
+    )(a_padded, bt, nt)
+
+    a2 = jnp.sum(a * a, axis=-1)
+    dist = jnp.maximum(dist_part[:B, :N] + a2, 0.0)
+    return dist, sdot[:B, :N]
+
+
 _FORCE_INTERPRET = False  # tests flip this to exercise the VJP off-TPU
 
 

@@ -65,6 +65,36 @@ def main():
         print(f"xla chunked: compile {t_xla_c:.1f}s, run {t_xla*1e3:.2f}ms; "
               f"values match: {ok}", flush=True)
 
+    # fused signed-NN kernel (NN + pseudonormal dot at argmin in one sweep)
+    from interdiff_tpu.ops.pallas_nn import signed_nearest_pallas
+    from interdiff_tpu.ops.signed_distance import signed_nearest
+
+    for (B, N, M) in [(8, 128, 256), (800, 2048, 6890)]:
+        a = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((B, M, 3)), jnp.float32)
+        nrm = jnp.asarray(rng.standard_normal((B, M, 3)), jnp.float32)
+        print(f"--- signed pallas B={B} N={N} M={M}: compiling...",
+              flush=True)
+        t0 = time.time()
+        d, s = signed_nearest_pallas(a, b, nrm)
+        jax.block_until_ready((d, s))
+        t_compile = time.time() - t0
+        t0 = time.time()
+        reps = 20
+        for _ in range(reps):
+            d, s = signed_nearest_pallas(a, b, nrm)
+        jax.block_until_ready((d, s))
+        t_run = (time.time() - t0) / reps
+        print(f"signed pallas ok: compile {t_compile:.1f}s, "
+              f"run {t_run*1e3:.2f}ms", flush=True)
+        d_ref, s_ref = signed_nearest(a, b, nrm, chunk=512,
+                                      use_pallas=False)
+        ok_d = np.allclose(np.asarray(d), np.asarray(d_ref), atol=1e-3)
+        sign_agree = float(np.mean(np.sign(np.asarray(s))
+                                   == np.sign(np.asarray(s_ref))))
+        print(f"signed vs fallback: dist match {ok_d}, "
+              f"sign agreement {sign_agree:.4f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

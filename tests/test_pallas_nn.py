@@ -5,8 +5,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from interdiff_tpu.ops.pallas_nn import nearest_neighbor_pallas
-from interdiff_tpu.ops.signed_distance import nearest_neighbor
+from interdiff_tpu.ops.pallas_nn import (
+    nearest_neighbor_pallas,
+    signed_nearest_pallas,
+)
+from interdiff_tpu.ops.signed_distance import nearest_neighbor, signed_nearest
 
 
 def test_pallas_nn_matches_xla(rng):
@@ -27,6 +30,37 @@ def test_pallas_nn_exact_on_duplicates(rng):
     d, i = nearest_neighbor_pallas(a, b, tile_a=8, interpret=True)
     np.testing.assert_array_equal(np.asarray(i), 0)
     np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+
+def test_signed_nearest_pallas_matches_fallback(rng):
+    """The fused NN+pseudonormal-dot kernel must agree with the
+    NN + take_along_axis fallback (the formulation it replaces in
+    `eval/smpl_short.py`'s penetration gate)."""
+    B, N, M = 3, 300, 130  # unaligned on purpose
+    a = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((B, M, 3)).astype(np.float32))
+    n = jnp.asarray(rng.standard_normal((B, M, 3)).astype(np.float32))
+    d_ref, s_ref = signed_nearest(a, b, n, use_pallas=False)
+    d_pal, s_pal = signed_nearest_pallas(a, b, n, tile_a=128,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref),
+                               atol=1e-4)
+
+
+def test_signed_nearest_sign_semantics():
+    """Inside/outside signs on a known configuration: surface point at
+    origin with normal +z; a query above is outside (sdot > 0), below is
+    inside (sdot < 0)."""
+    b = jnp.asarray([[[0.0, 0.0, 0.0], [10.0, 10.0, 10.0]]])
+    n = jnp.asarray([[[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]]])
+    a = jnp.asarray([[[0.0, 0.0, 0.5], [0.0, 0.0, -0.5]]])
+    for up in (False, True):
+        d, s = (signed_nearest_pallas(a, b, n, tile_a=8, interpret=True)
+                if up else signed_nearest(a, b, n, use_pallas=False))
+        np.testing.assert_allclose(np.asarray(d), [[0.25, 0.25]], atol=1e-6)
+        assert float(s[0, 0]) > 0 and float(s[0, 1]) < 0
 
 
 def test_pallas_nn_custom_vjp_matches_xla_grad(rng, monkeypatch):
