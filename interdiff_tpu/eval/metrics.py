@@ -18,7 +18,7 @@ from interdiff_tpu.geometry.rotations import (
     axis_angle_to_matrix,
     axis_angle_to_quaternion,
 )
-from interdiff_tpu.ops.signed_distance import point2point_signed
+from interdiff_tpu.ops.signed_distance import signed_nearest
 
 
 def quat_min_error(q_pred: jax.Array, q_gt: jax.Array, *,
@@ -50,12 +50,17 @@ def smpl_metrics(
     obj_points_pred = (jnp.einsum("btij,bpj->btpi", rot, obj_points)
                        + obj_pred[..., None, 3:])
 
+    # the reference computes a full bidirectional chamfer here
+    # (`eval_smpl_short.py:37-40`) but consumes only the o2h *sign*; the
+    # fused signed-NN (ops/signed_distance.signed_nearest) produces exactly
+    # that in one sweep — the 6890-query verts->obj direction and all four
+    # argmin gathers of point2point_signed are dropped
     v_flat = verts.reshape(B * T, -1, 3)
     normals = vertex_normals(v_flat, faces)
-    o2h_signed, _, _, _ = point2point_signed(
-        v_flat, obj_points_pred.reshape(B * T, -1, 3), normals, None,
+    _, o2h_dot = signed_nearest(
+        obj_points_pred.reshape(B * T, -1, 3), v_flat, normals,
         chunk=nn_chunk)
-    penetrate = jnp.mean((o2h_signed < 0).reshape(B, T, -1)
+    penetrate = jnp.mean((o2h_dot < 0).reshape(B, T, -1)
                          .astype(jnp.float32), axis=(1, 2))
 
     global_mpjpe = jnp.linalg.norm(body_jtr - body_jtr_gt, axis=-1

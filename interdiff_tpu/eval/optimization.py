@@ -25,7 +25,10 @@ from interdiff_tpu.geometry.rotations import (
     axis_angle_to_matrix,
     matrix_to_axis_angle,
 )
-from interdiff_tpu.ops.signed_distance import point2point_signed
+from interdiff_tpu.ops.signed_distance import (
+    nearest_neighbor,
+    signed_nearest,
+)
 from interdiff_tpu.smpl.model import SmplModel, smpl_forward
 
 
@@ -91,16 +94,26 @@ def optimize_clip(
         pts = (jnp.einsum("pj,tij->tpi", obj_points, p["obj_rot"])
                + p["obj_transl"][:, None])
         normals = vertex_normals(verts, jnp.asarray(smpl.faces))
-        o2h_signed, _, _, _ = point2point_signed(
-            verts, pts, normals, None, chunk=cfg.nn_chunk)
+        # fused signed-NN (one sweep, custom VJP through queries, surface
+        # AND normals) replaces the bidirectional chamfer whose h2o half
+        # and argmin gathers were unused (`optimization.py:55-64`)
+        o2h_sq, o2h_dot = signed_nearest(pts, verts, normals,
+                                         chunk=cfg.nn_chunk)
+        o2h_signed = jnp.sqrt(o2h_sq) * jnp.sign(o2h_dot)
 
         pen_w = jnp.where(ratio < 1.0, 20.0 * ratio, 20.0)
         w = jnp.where(o2h_signed < 0, pen_w, 0.0)
         loss_dist_o = jnp.mean(jnp.sum(jnp.abs(o2h_signed) * w, axis=1))
 
-        # vert anchor on non-contact region (`:72-78`)
-        d = jnp.linalg.norm(verts[:, None] - pts[:, :, None], axis=3)
-        contact_v = (d < 0.5).any(axis=1)  # [T, V]
+        # vert anchor on non-contact region (`:72-78`): "any object point
+        # within 0.5 m" == nearest object point within 0.5 m — a chunked NN
+        # instead of the reference's dense [T, P, V] distance tensor
+        # (0.5 G elements at eval shapes); the mask is piecewise-constant
+        # so the NN runs outside the gradient tape
+        v_sq, _ = nearest_neighbor(jax.lax.stop_gradient(verts),
+                                   jax.lax.stop_gradient(pts),
+                                   chunk=cfg.nn_chunk)
+        contact_v = v_sq < 0.25  # [T, V]
         w_verts = jnp.where(contact_v, 0.0, 1e-2)
         loss_verts_reg = jnp.mean(jnp.sum(
             jnp.abs(verts - verts_gt).sum(2) * w_verts, axis=1))

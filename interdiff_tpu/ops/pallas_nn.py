@@ -96,7 +96,7 @@ def nearest_neighbor_pallas(a: jax.Array, b: jax.Array, *,
     return dist, idx[:B, :N]
 
 
-def _signed_nn_kernel(a_ref, bt_ref, nt_ref, dist_ref, sdot_ref):
+def _signed_nn_kernel(a_ref, bt_ref, nt_ref, dist_ref, sdot_ref, idx_ref):
     """NN + pseudonormal dot at the argmin, fused.
 
     For each query a: j* = argmin_j |a - b_j|^2 and
@@ -104,7 +104,9 @@ def _signed_nn_kernel(a_ref, bt_ref, nt_ref, dist_ref, sdot_ref):
     two [batch, N, 3] take_along_axis gathers the eval path otherwise
     needs (measured 70 ms at 800x2048-from-6890 on v5e — more than the NN
     itself); the sign of sdot is the inside/outside test of
-    `point2point_signed` and |a - b_{j*}| is just sqrt(dist)."""
+    `point2point_signed` and |a - b_{j*}| is just sqrt(dist).  j* is also
+    emitted so the custom VJP can route gradients without re-running the
+    sweep."""
     for r in range(_BB):  # unrolled: 2D ops only (see _nn_kernel notes)
         a = a_ref[r]  # [TA, 3]
         bt = bt_ref[r]  # [3, M]
@@ -122,6 +124,7 @@ def _signed_nn_kernel(a_ref, bt_ref, nt_ref, dist_ref, sdot_ref):
         amin = jnp.argmin(scores, axis=-1).astype(jnp.int32)  # [TA]
         iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         dist_ref[r] = jnp.min(scores, axis=-1)
+        idx_ref[r] = amin
         # first-occurrence argmin selection == take_along_axis semantics
         sdot_ref[r] = jnp.sum(
             jnp.where(iota == amin[:, None], s, 0.0), axis=-1)
@@ -131,10 +134,10 @@ def _signed_nn_kernel(a_ref, bt_ref, nt_ref, dist_ref, sdot_ref):
 def signed_nearest_pallas(a: jax.Array, b: jax.Array, n: jax.Array, *,
                           tile_a: int = 128,
                           interpret: bool = False
-                          ) -> Tuple[jax.Array, jax.Array]:
+                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """a: [B, N, 3] queries, b: [B, M, 3] surface points, n: [B, M, 3]
-    (pseudo)normals -> (sq_dist [B, N], sdot [B, N]) with
-    ``sdot = n[argmin] . (a - b[argmin])`` (sign < 0 means inside)."""
+    (pseudo)normals -> (sq_dist [B, N], sdot [B, N], idx [B, N] int32) with
+    ``sdot = n[idx] . (a - b[idx])`` (sign < 0 means inside)."""
     B, N, _ = a.shape
     M = b.shape[1]
     b_pad = (-B) % _BB
@@ -150,7 +153,7 @@ def signed_nearest_pallas(a: jax.Array, b: jax.Array, n: jax.Array, *,
     Bp, Np = B + b_pad, N + n_pad
 
     grid = (Bp // _BB, Np // tile_a)
-    dist_part, sdot = pl.pallas_call(
+    dist_part, sdot, idx = pl.pallas_call(
         _signed_nn_kernel,
         grid=grid,
         in_specs=[
@@ -166,17 +169,20 @@ def signed_nearest_pallas(a: jax.Array, b: jax.Array, n: jax.Array, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_BB, tile_a), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BB, tile_a), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, Np), jnp.float32),
             jax.ShapeDtypeStruct((Bp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, Np), jnp.int32),
         ],
         interpret=interpret,
     )(a_padded, bt, nt)
 
     a2 = jnp.sum(a * a, axis=-1)
     dist = jnp.maximum(dist_part[:B, :N] + a2, 0.0)
-    return dist, sdot[:B, :N]
+    return dist, sdot[:B, :N], idx[:B, :N]
 
 
 _FORCE_INTERPRET = False  # tests flip this to exercise the VJP off-TPU
@@ -215,6 +221,51 @@ def _nn_diff_bwd(res, cotangents):
 
 
 nearest_neighbor_pallas_diff.defvjp(_nn_diff_fwd, _nn_diff_bwd)
+
+
+@jax.custom_vjp
+def signed_nearest_pallas_diff(a: jax.Array, b: jax.Array, n: jax.Array
+                               ) -> Tuple[jax.Array, jax.Array]:
+    """Differentiable wrapper around the fused signed-NN kernel.
+
+    With ``j* = argmin_j |a - b_j|^2`` piecewise-constant the primals are
+    ``sq = |a - b[j*]|^2`` and ``sdot = n[j*] . (a - b[j*])``, so
+
+        d sq/da = 2 (a - b[j*])        d sq/db[j*]  = -2 (a - b[j*])
+        d sdot/da = n[j*]              d sdot/db[j*] = -n[j*]
+        d sdot/dn[j*] = a - b[j*]
+
+    Needed by the differentiated consumers of `point2point_signed`
+    (correction training penetration term, post-hoc optimization)."""
+    d, s, _ = signed_nearest_pallas(a, b, n, interpret=_FORCE_INTERPRET)
+    return d, s
+
+
+def _snn_diff_fwd(a, b, n):
+    d, s, i = signed_nearest_pallas(a, b, n, interpret=_FORCE_INTERPRET)
+    return (d, s), (a, b, n, i)
+
+
+def _snn_diff_bwd(res, cotangents):
+    a, b, n, i = res
+    gd, gs = cotangents
+    idx = i[..., None].astype(jnp.int32).repeat(3, -1)
+    b_near = jnp.take_along_axis(b, idx, axis=-2)
+    n_near = jnp.take_along_axis(n, idx, axis=-2)
+    diff = a - b_near
+    ga = 2.0 * gd[..., None] * diff + gs[..., None] * n_near
+    gb_rows = -2.0 * gd[..., None] * diff - gs[..., None] * n_near
+    gn_rows = gs[..., None] * diff
+
+    def scatter_one(buf, ii, gg):
+        return jnp.zeros_like(buf).at[ii].add(gg)
+
+    gb = jax.vmap(scatter_one)(b, i, gb_rows)
+    gn = jax.vmap(scatter_one)(n, i, gn_rows)
+    return ga, gb, gn
+
+
+signed_nearest_pallas_diff.defvjp(_snn_diff_fwd, _snn_diff_bwd)
 
 
 def on_tpu() -> bool:

@@ -122,7 +122,7 @@ def signed_nearest(a: jax.Array, b: jax.Array, n: jax.Array, *,
 
         use_pallas = on_tpu()
     if use_pallas and a.shape[-1] == 3 and a.ndim >= 2:
-        from interdiff_tpu.ops.pallas_nn import signed_nearest_pallas
+        from interdiff_tpu.ops.pallas_nn import signed_nearest_pallas_diff
 
         batch_shape = a.shape[:-2]
         a3 = a.reshape((-1,) + a.shape[-2:])
@@ -130,7 +130,7 @@ def signed_nearest(a: jax.Array, b: jax.Array, n: jax.Array, *,
             b, batch_shape + b.shape[-2:]).reshape((-1,) + b.shape[-2:])
         n3 = jnp.broadcast_to(
             n, batch_shape + n.shape[-2:]).reshape((-1,) + n.shape[-2:])
-        d, s = signed_nearest_pallas(a3, b3, n3)
+        d, s = signed_nearest_pallas_diff(a3, b3, n3)
         return (d.reshape(batch_shape + (a.shape[-2],)),
                 s.reshape(batch_shape + (a.shape[-2],)))
     sq, idx = nearest_neighbor(a, b, chunk=chunk, use_pallas=False)

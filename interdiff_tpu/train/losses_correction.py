@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from interdiff_tpu.geometry.rotations import rotation_6d_to_matrix
-from interdiff_tpu.ops.signed_distance import point2point_signed
+from interdiff_tpu.ops.signed_distance import nearest_neighbor, signed_nearest
 
 
 def _mse(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -73,15 +73,25 @@ def contact_penetration_terms(
     pts = (jnp.einsum("btij,bpj->btpi", rot, obj_points[..., :3])
            + obj_pred[..., None, 6:9])
 
+    # the reference's bidirectional `point2point_signed` call
+    # (`train_correction_smpl.py:131`) is split into its two genuinely-used
+    # halves: the o2h direction needs distance AND pseudonormal sign (one
+    # fused signed-NN sweep), the h2o direction is consumed only through
+    # |h2o| (y_normals=None upstream), i.e. a plain NN distance — neither
+    # needs the argmin gathers of the general routine, and both carry the
+    # custom-VJP gradient back to the predicted object pose
     hv = human_verts.reshape(B * T, -1, 7)
-    o2h_signed, h2o_signed, _, _ = point2point_signed(
-        hv[..., :3], pts.reshape(B * T, -1, 3), hv[..., 3:6], None,
-        chunk=nn_chunk)
+    pts_flat = pts.reshape(B * T, -1, 3)
+    o2h_sq, o2h_dot = signed_nearest(
+        pts_flat, hv[..., :3], hv[..., 3:6], chunk=nn_chunk)
+    o2h_signed = jnp.sqrt(o2h_sq) * jnp.sign(o2h_dot)
+    h2o_sq, _ = nearest_neighbor(hv[..., :3], pts_flat, chunk=nn_chunk)
+    h2o = jnp.sqrt(h2o_sq)
 
     contact_label = hv[..., 6]
-    v_contact = jnp.logical_and(jnp.abs(h2o_signed) > 0.02,
+    v_contact = jnp.logical_and(h2o > 0.02,
                                 contact_label > 0.5).astype(jnp.float32)
-    loss_contact = jnp.mean(jnp.abs(h2o_signed) * v_contact)
+    loss_contact = jnp.mean(h2o * v_contact)
 
     w_pen = jnp.where(o2h_signed < 0, 20.0, 0.0)
     loss_penetration = jnp.mean(jnp.abs(o2h_signed) * w_pen)

@@ -76,13 +76,13 @@ def main():
         print(f"--- signed pallas B={B} N={N} M={M}: compiling...",
               flush=True)
         t0 = time.time()
-        d, s = signed_nearest_pallas(a, b, nrm)
+        d, s, _ = signed_nearest_pallas(a, b, nrm)
         jax.block_until_ready((d, s))
         t_compile = time.time() - t0
         t0 = time.time()
         reps = 20
         for _ in range(reps):
-            d, s = signed_nearest_pallas(a, b, nrm)
+            d, s, _ = signed_nearest_pallas(a, b, nrm)
         jax.block_until_ready((d, s))
         t_run = (time.time() - t0) / reps
         print(f"signed pallas ok: compile {t_compile:.1f}s, "

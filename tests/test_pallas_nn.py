@@ -41,12 +41,14 @@ def test_signed_nearest_pallas_matches_fallback(rng):
     b = jnp.asarray(rng.standard_normal((B, M, 3)).astype(np.float32))
     n = jnp.asarray(rng.standard_normal((B, M, 3)).astype(np.float32))
     d_ref, s_ref = signed_nearest(a, b, n, use_pallas=False)
-    d_pal, s_pal = signed_nearest_pallas(a, b, n, tile_a=128,
-                                         interpret=True)
+    _, i_ref = nearest_neighbor(a, b, chunk=None, use_pallas=False)
+    d_pal, s_pal, i_pal = signed_nearest_pallas(a, b, n, tile_a=128,
+                                                interpret=True)
     np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref),
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref),
                                atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
 
 
 def test_signed_nearest_sign_semantics():
@@ -57,7 +59,7 @@ def test_signed_nearest_sign_semantics():
     n = jnp.asarray([[[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]]])
     a = jnp.asarray([[[0.0, 0.0, 0.5], [0.0, 0.0, -0.5]]])
     for up in (False, True):
-        d, s = (signed_nearest_pallas(a, b, n, tile_a=8, interpret=True)
+        d, s = (signed_nearest_pallas(a, b, n, tile_a=8, interpret=True)[:2]
                 if up else signed_nearest(a, b, n, use_pallas=False))
         np.testing.assert_allclose(np.asarray(d), [[0.25, 0.25]], atol=1e-6)
         assert float(s[0, 0]) > 0 and float(s[0, 1]) < 0
@@ -89,3 +91,31 @@ def test_pallas_nn_custom_vjp_matches_xla_grad(rng, monkeypatch):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(gb_pal), np.asarray(gb_ref),
                                atol=1e-4)
+
+
+def test_signed_pallas_custom_vjp_matches_xla_grad(rng, monkeypatch):
+    """Gradients of the fused signed-NN wrapper wrt queries, surface points
+    AND normals must match the gradients XLA derives for the unfused
+    NN + gather fallback (post-hoc optimization differentiates through all
+    three: normals are themselves a function of the SMPL vertices)."""
+    import interdiff_tpu.ops.pallas_nn as pn
+
+    monkeypatch.setattr(pn, "_FORCE_INTERPRET", True)
+    B, N, M = 2, 40, 24
+    a = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((B, M, 3)).astype(np.float32))
+    n = jnp.asarray(rng.standard_normal((B, M, 3)).astype(np.float32))
+
+    def loss_xla(a, b, n):
+        d, s = signed_nearest(a, b, n, use_pallas=False)
+        return jnp.sum(jnp.sin(d) + jnp.cos(s))
+
+    def loss_pal(a, b, n):
+        d, s = pn.signed_nearest_pallas_diff(a, b, n)
+        return jnp.sum(jnp.sin(d) + jnp.cos(s))
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(a, b, n)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(a, b, n)
+    for gr, gp in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   atol=1e-4)
