@@ -135,7 +135,7 @@ def _run_from_samples(args):
     from interdiff_tpu.geometry.normals import vertex_normals
     from interdiff_tpu.geometry.rotations import axis_angle_to_matrix
     from interdiff_tpu.models.mdm_smpl import MDMSmpl, smpl_gt_from_raw
-    from interdiff_tpu.ops.signed_distance import point2point_signed
+    from interdiff_tpu.ops.signed_distance import signed_nearest
     from interdiff_tpu.smpl.model import smpl_forward
 
     rng = seed_everything(args.seed)
@@ -193,9 +193,11 @@ def _run_from_samples(args):
         pts = (jnp.einsum("btij,bpj->btpi", rot, obj_pts)
                + obj_trans[:, :, None])
         normals = vertex_normals(verts, faces_j)
-        o2h, _, _, _ = point2point_signed(
-            verts, pts.reshape(B * Tn, -1, 3), normals, None, chunk=512)
-        inside = (o2h < 0).reshape(B, Tn, -1).astype(jnp.float32)
+        # only the o2h sign is consumed -> one fused signed-NN sweep
+        # (see eval/metrics.py for the same rewrite rationale)
+        _, o2h_dot = signed_nearest(
+            pts.reshape(B * Tn, -1, 3), verts, normals, chunk=512)
+        inside = (o2h_dot < 0).reshape(B, Tn, -1).astype(jnp.float32)
         return inside[:, pp:].mean(axis=(1, 2))
 
     # keep_after must stay below iters-1 or the best-iterate tracker
