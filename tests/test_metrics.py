@@ -77,6 +77,42 @@ def test_smpl_metrics_shapes(rng):
         np.testing.assert_allclose(np.asarray(m[k]), 0.0, atol=1e-5)
 
 
+def test_smpl_metrics_penetrate_matches_bidirectional(rng):
+    """The fused signed-NN penetrate must equal the original bidirectional
+    `point2point_signed` formulation (`eval_smpl_short.py:37-40`) it
+    replaced: fraction of object points whose signed distance to the body
+    is negative."""
+    from interdiff_tpu.geometry.normals import vertex_normals
+    from interdiff_tpu.geometry.rotations import axis_angle_to_matrix
+    from interdiff_tpu.ops.signed_distance import point2point_signed
+
+    B, T, J, V, P = 2, 4, 52, 48, 24
+    obj = 0.1 * rng.standard_normal((B, T, 6)).astype(np.float32)
+    jtr = rng.standard_normal((B, T, J, 3)).astype(np.float32)
+    body = rng.standard_normal((B, T, 159)).astype(np.float32)
+    verts = rng.standard_normal((B, T, V, 3)).astype(np.float32)
+    # a random closed-ish fan so normals are nontrivial
+    faces = np.stack([np.zeros(V - 2), np.arange(1, V - 1),
+                      np.arange(2, V)], axis=1).astype(np.int32)
+    pts = rng.standard_normal((B, P, 3)).astype(np.float32)
+
+    m = smpl_metrics(jnp.asarray(obj), jnp.asarray(jtr), jnp.asarray(body),
+                     jnp.asarray(obj), jnp.asarray(jtr), jnp.asarray(body),
+                     jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(pts),
+                     nn_chunk=None)
+
+    rot = axis_angle_to_matrix(jnp.asarray(obj[..., :3]))
+    opp = (jnp.einsum("btij,bpj->btpi", rot, jnp.asarray(pts))
+           + jnp.asarray(obj)[..., None, 3:])
+    v_flat = jnp.asarray(verts).reshape(B * T, V, 3)
+    normals = vertex_normals(v_flat, faces)
+    o2h_signed, _, _, _ = point2point_signed(
+        v_flat, opp.reshape(B * T, P, 3), normals, None, chunk=None)
+    want = np.mean(
+        (np.asarray(o2h_signed) < 0).reshape(B, T, P), axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(m["penetrate"]), want, atol=1e-6)
+
+
 def test_state_to_axis_angle_roundtrip(rng):
     """smpl_gt_from_raw -> state_to_axis_angle recovers the axis-angle
     rotations (up to angle wrapping) and the translations exactly."""
