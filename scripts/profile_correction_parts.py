@@ -33,7 +33,10 @@ from interdiff_tpu.geometry.rotations import (  # noqa: E402
     rotation_6d_to_matrix,
 )
 from interdiff_tpu.models.correction import ObjProjectorSmpl  # noqa: E402
-from interdiff_tpu.ops.signed_distance import nearest_neighbor  # noqa: E402
+from interdiff_tpu.ops.signed_distance import (  # noqa: E402
+    nearest_neighbor,
+    signed_nearest,
+)
 from interdiff_tpu.smpl.model import smpl_forward  # noqa: E402
 from interdiff_tpu.utils.checkpoint import load_correction_smpl  # noqa: E402
 
@@ -85,8 +88,11 @@ def main():
         pose_full, betas, trans)
     total += bench("vertex_normals (future)", jax.jit(
         lambda v: vertex_normals(v, faces)), verts_fut)
-    total += bench("o2h NN (P queries x V)", jax.jit(
-        lambda a, b: nearest_neighbor(a, b, chunk=512)), obj_fut, verts_fut)
+    normals_fut = jnp.asarray(rng.standard_normal((B * Tf, V, 3)),
+                              jnp.float32)
+    total += bench("o2h fused signed-NN", jax.jit(
+        lambda a, b, n: signed_nearest(a, b, n, chunk=512)),
+        obj_fut, verts_fut, normals_fut)
     total += bench("marker NN (67 x P)", jax.jit(
         lambda a, b: nearest_neighbor(a, b, chunk=512)), markers, obj_pts_bt)
 
@@ -99,14 +105,19 @@ def main():
             pp, o, m.reshape(B, T, 67, 3), c,
             method=ObjProjectorSmpl.sample)), obj9, markers, contact)
 
-    # the gathers the parts above skip
+    print(f"{'TOTAL (one activation)':32s} {total:8.2f} ms")
+
+    # the superseded formulation, for the record: plain NN + two
+    # argmin-index gathers (what signed_nearest fuses away)
+    old = bench("(old) o2h NN only", jax.jit(
+        lambda a, b: nearest_neighbor(a, b, chunk=512)), obj_fut, verts_fut)
     oidx = jnp.asarray(rng.integers(0, V, (B * Tf, P)), jnp.int32)
-    total += bench("take_along_axis x2 (near_v/n)", jax.jit(
+    old += bench("(old) take_along_axis x2", jax.jit(
         lambda v, i: (jnp.take_along_axis(v, i[..., None].repeat(3, -1),
                                           axis=-2),
                       jnp.take_along_axis(v, i[..., None].repeat(3, -1),
                                           axis=-2))), verts_fut, oidx)
-    print(f"{'TOTAL (one activation)':32s} {total:8.2f} ms")
+    print(f"{'(old) NN+gathers total':32s} {old:8.2f} ms")
 
     # ground truth: the FULL denoised_fn exactly as compiled into the scan
     from interdiff_tpu.eval.smpl_short import (
