@@ -19,26 +19,13 @@ from interdiff_tpu.eval.smpl_short import (
 )
 from interdiff_tpu.models.correction import ObjProjectorSmpl
 from interdiff_tpu.models.mdm_smpl import MDMSmpl
-from interdiff_tpu.smpl.model import SmplModel
-
 STEPS = 6
 
 
 def _tiny_smpl(rng, V=64, J=22 + 30):
-    """Synthetic SMPL-H-shaped model (52 joints so 156-dim poses work)."""
-    parents = np.zeros(J, dtype=np.int64)
-    for j in range(1, J):
-        parents[j] = (j - 1) // 2  # binary-tree topology
-    return SmplModel.create(
-        v_template=rng.standard_normal((V, 3)) * 0.2,
-        shapedirs=rng.standard_normal((V, 3, 10)) * 0.01,
-        posedirs=rng.standard_normal((V, 3, 9 * (J - 1))) * 0.001,
-        j_regressor=np.abs(rng.random((J, V)))
-        / np.abs(rng.random((J, V))).sum(1, keepdims=True),
-        weights=np.eye(V, J) * 0 + 1.0 / J,
-        parents=parents,
-        faces=np.array([[0, 1, 2], [1, 2, 3], [2, 3, 4]], dtype=np.int32),
-    )
+    from interdiff_tpu.utils.fixtures import tiny_smpl_model
+
+    return tiny_smpl_model(rng, V=V, J=J)
 
 
 def _setup(rng, use_correction):
