@@ -27,6 +27,7 @@ from interdiff_tpu.geometry.rotations import (
 )
 from interdiff_tpu.ops.signed_distance import (
     nearest_neighbor,
+    safe_sqrt,
     signed_nearest,
 )
 from interdiff_tpu.smpl.model import SmplModel, smpl_forward
@@ -99,7 +100,9 @@ def optimize_clip(
         # and argmin gathers were unused (`optimization.py:55-64`)
         o2h_sq, o2h_dot = signed_nearest(pts, verts, normals,
                                          chunk=cfg.nn_chunk)
-        o2h_signed = jnp.sqrt(o2h_sq) * jnp.sign(o2h_dot)
+        # safe_sqrt: grad(sqrt)(0)=inf would NaN the Adam refinement the
+        # moment a penetrating point crosses the surface (clamped sq == 0)
+        o2h_signed = safe_sqrt(o2h_sq) * jnp.sign(o2h_dot)
 
         pen_w = jnp.where(ratio < 1.0, 20.0 * ratio, 20.0)
         w = jnp.where(o2h_signed < 0, pen_w, 0.0)

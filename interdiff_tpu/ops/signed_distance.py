@@ -99,6 +99,20 @@ def nearest_neighbor(a: jax.Array, b: jax.Array, *,
     return _chunked_nn(a, b, chunk)
 
 
+def safe_sqrt(x: jax.Array) -> jax.Array:
+    """sqrt with a zero (instead of inf/NaN) gradient at x == 0.
+
+    The NN backends compute squared distances via the clamped
+    ``max(|b|^2 - 2ab + |a|^2, 0)`` formulation, so f32 cancellation makes
+    ``sq == 0.0`` a positive-probability event for touching geometry — and
+    ``grad(sqrt)(0) = inf`` would NaN the whole gradient pytree of any
+    differentiated consumer (correction training, post-hoc optimization).
+    The double-where keeps the forward value exact (sqrt, including at 0)
+    while selecting the 0 subgradient on the clamp boundary."""
+    positive = x > 0
+    return jnp.where(positive, jnp.sqrt(jnp.where(positive, x, 1.0)), 0.0)
+
+
 def signed_nearest(a: jax.Array, b: jax.Array, n: jax.Array, *,
                    chunk: Optional[int] = None,
                    use_pallas: Optional[bool] = None

@@ -15,7 +15,11 @@ import jax
 import jax.numpy as jnp
 
 from interdiff_tpu.geometry.rotations import rotation_6d_to_matrix
-from interdiff_tpu.ops.signed_distance import nearest_neighbor, signed_nearest
+from interdiff_tpu.ops.signed_distance import (
+    nearest_neighbor,
+    safe_sqrt,
+    signed_nearest,
+)
 
 
 def _mse(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -84,9 +88,11 @@ def contact_penetration_terms(
     pts_flat = pts.reshape(B * T, -1, 3)
     o2h_sq, o2h_dot = signed_nearest(
         pts_flat, hv[..., :3], hv[..., 3:6], chunk=nn_chunk)
-    o2h_signed = jnp.sqrt(o2h_sq) * jnp.sign(o2h_dot)
+    # safe_sqrt: the clamped sq formulation hits exactly 0 for touching
+    # geometry and grad(sqrt)(0)=inf would NaN the training step
+    o2h_signed = safe_sqrt(o2h_sq) * jnp.sign(o2h_dot)
     h2o_sq, _ = nearest_neighbor(hv[..., :3], pts_flat, chunk=nn_chunk)
-    h2o = jnp.sqrt(h2o_sq)
+    h2o = safe_sqrt(h2o_sq)
 
     contact_label = hv[..., 6]
     v_contact = jnp.logical_and(h2o > 0.02,

@@ -90,21 +90,17 @@ def test_data_parallel_correction_sampler_matches_single_device(rng):
     mesh must equal the single-device run — the projector runs in eval mode
     (BatchNorm running stats), so nothing in the scan couples batch rows."""
     from interdiff_tpu.diffusion.gaussian import GaussianDiffusion
-    from interdiff_tpu.eval.smpl_short import SmplEvalConfig, make_sampler
-    from interdiff_tpu.models.correction import ObjProjectorSmpl
     from interdiff_tpu.models.mdm_smpl import MDMSmpl
     from interdiff_tpu.parallel.sample_parallel import data_parallel_sample
-    from interdiff_tpu.utils.fixtures import tiny_smpl_model
+    from interdiff_tpu.utils.fixtures import make_tiny_correction_sampler
 
     mesh = make_mesh()
     model = MDMSmpl(embed_dim=32, ff_size=64, num_layers=2,
                     use_pointnet2=False)
     diffusion = GaussianDiffusion.create_named(steps=20,
                                                timestep_respacing="5")
-    cfg = SmplEvalConfig(correction_t_max=20, correction_every=1,
-                         nn_chunk=None)  # gate active on every scan step
 
-    B, T, P = 16, cfg.seq_len, 32
+    B, T, P = 16, model.past_len + model.future_len, 32
     gt = jnp.asarray(rng.standard_normal((B, T, 144)).astype(np.float32))
     pts = jnp.asarray(rng.standard_normal((B, P, 6)).astype(np.float32))
     hand = jnp.zeros((B, T, 90), jnp.float32)
@@ -112,15 +108,7 @@ def test_data_parallel_correction_sampler_matches_single_device(rng):
     params = model.init(jax.random.PRNGKey(0), gt, pts,
                         jnp.zeros((B,), jnp.int32),
                         method=MDMSmpl.init_forward)
-    projector = ObjProjectorSmpl(num_markers=40, n_pre=4)
-    proj_params = projector.init(
-        jax.random.PRNGKey(1), gt[..., 135:],
-        jnp.zeros((B, T, 40, 3), jnp.float32),
-        jnp.zeros((B, 40), jnp.float32))
-    sampler = make_sampler(
-        cfg, model, diffusion, smpl=tiny_smpl_model(np.random.default_rng(3)),
-        projector=projector, projector_params=proj_params,
-        use_correction=True, markers_idx=np.arange(40))
+    sampler = make_tiny_correction_sampler(model, diffusion, gt)
     key = jax.random.PRNGKey(3)
 
     dp = data_parallel_sample(sampler, mesh, n_args=6)

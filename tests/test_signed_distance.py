@@ -2,8 +2,10 @@
 `interdiff/tools.py:11-76`)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
+from interdiff_tpu.geometry.rotations import rotation_6d_to_matrix
 from interdiff_tpu.ops.signed_distance import nearest_neighbor, point2point_signed
 
 
@@ -74,3 +76,67 @@ def test_chunked_nn_non_divisible(rng):
     d1, i1 = nearest_neighbor(jnp.asarray(a), jnp.asarray(b), chunk=16)
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-4)
+
+
+def test_safe_sqrt_zero_gradient_at_clamp():
+    from interdiff_tpu.ops.signed_distance import safe_sqrt
+
+    x = jnp.asarray([0.0, 1e-12, 4.0])
+    val, grads = jax.vmap(jax.value_and_grad(safe_sqrt))(x)
+    np.testing.assert_allclose(np.asarray(val), np.sqrt(np.asarray(x)),
+                               rtol=1e-6)
+    assert np.isfinite(np.asarray(grads)).all()
+    assert float(grads[0]) == 0.0  # subgradient 0 on the clamp boundary
+
+
+def test_contact_penetration_grads_finite_at_touching_geometry(rng):
+    """A query point coinciding exactly with a surface vertex makes the
+    clamped squared NN distance 0.0; the losses must still produce finite
+    gradients (raw grad(sqrt)(0) = inf would NaN the whole pytree)."""
+    from interdiff_tpu.ops.signed_distance import safe_sqrt, signed_nearest
+
+    surf = jnp.asarray(rng.standard_normal((1, 12, 3)).astype(np.float32))
+    normals = jnp.asarray(rng.standard_normal((1, 12, 3)).astype(np.float32))
+    # first two queries sit exactly on surface vertices (sq -> clamped 0)
+    queries = jnp.concatenate(
+        [surf[:, :2], jnp.asarray(
+            rng.standard_normal((1, 4, 3)).astype(np.float32))], axis=1)
+
+    def loss(q):
+        sq, sdot = signed_nearest(q, surf, normals, chunk=None)
+        signed = safe_sqrt(sq) * jnp.sign(sdot)
+        w = jnp.where(signed < 0, 20.0, 0.0)
+        return jnp.mean(jnp.abs(signed) * w) + jnp.mean(safe_sqrt(sq))
+
+    val, g = jax.value_and_grad(loss)(queries)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(g)).all()
+
+    # and through the real training term with contact-labelled verts ON the
+    # object surface (h2o == 0 at labelled contacts)
+    from interdiff_tpu.train.losses_correction import (
+        contact_penetration_terms,
+    )
+
+    B, T, P, V = 1, 2, 8, 6
+    obj_pred = jnp.asarray(
+        rng.standard_normal((B, T, 9)).astype(np.float32))
+    obj_points = jnp.asarray(
+        rng.standard_normal((B, P, 3)).astype(np.float32))
+    rot = rotation_6d_to_matrix(obj_pred[..., :6])
+    pts = (jnp.einsum("btij,bpj->btpi", rot, obj_points)
+           + obj_pred[..., None, 6:9])
+    hv_xyz = pts[:, :, :V, :].reshape(B, T, V, 3)  # verts ON the object
+    hv = jnp.concatenate(
+        [hv_xyz,
+         jnp.asarray(rng.standard_normal((B, T, V, 3)).astype(np.float32)),
+         jnp.ones((B, T, V, 1), jnp.float32)], axis=-1)
+
+    def train_loss(op):
+        c, p = contact_penetration_terms(
+            op, obj_points=obj_points, human_verts=hv, nn_chunk=None)
+        return c + p
+
+    tval, tg = jax.value_and_grad(train_loss)(obj_pred)
+    assert np.isfinite(float(tval))
+    assert np.isfinite(np.asarray(tg)).all()
