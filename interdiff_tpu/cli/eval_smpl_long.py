@@ -40,6 +40,9 @@ def main():
     parser.add_argument("--config", default=None,
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
     parser.add_argument("--out_dir", default="./results")
+    parser.add_argument("--render_dir", default=None,
+                        help="write a gif of rollout 0, sample 0 (full "
+                             "autoregressive horizon)")
     parser.add_argument("--synthetic", type=int, default=0,
                         help="roll out N synthetic batches with a synthetic "
                              "SMPL body (no datasets/pkls needed)")
@@ -165,8 +168,54 @@ def main():
               f"({1 + args.rollouts} windows)")
         np.save(os.path.join(args.out_dir, f"rollout_{i}.npy"),
                 np.asarray(full))
+        if args.render_dir:
+            _render_rollout(args, cfg, smpl, full, hand, betas,
+                            batch["obj_points"], i)
         if i >= 2:
             break
+
+
+def _render_rollout(args, cfg, smpl, full, hand, betas, obj_points, i):
+    """Render sample 0 of the full autoregressive horizon (past window +
+    every rolled-out future chunk) as a 4-yaw-view mesh gif.  Hand poses and
+    betas beyond the first window are held at their last ground-truth frame
+    — the rollout states carry only the 144-dim body+object stream."""
+    from interdiff_tpu.geometry.rotations import (
+        matrix_to_axis_angle,
+        rotation_6d_to_matrix,
+    )
+    from interdiff_tpu.smpl.model import smpl_forward
+    from interdiff_tpu.viz.mesh_viz import visualize_body_obj
+
+    @jax.jit
+    def fk(full, hand, betas):
+        B, Tf = full.shape[:2]
+        body, obj = full[..., :135], full[..., 135:]
+        body_aa = matrix_to_axis_angle(rotation_6d_to_matrix(
+            body[..., :-3].reshape(B, Tf, -1, 6))).reshape(B, Tf, -1)
+
+        def pad_t(x):
+            return jnp.concatenate(
+                [x, jnp.repeat(x[:, -1:], Tf - x.shape[1], axis=1)], axis=1)
+
+        pose = jnp.concatenate([body_aa, pad_t(hand)], axis=-1)
+        verts, _, _, _ = smpl_forward(
+            smpl, pose.reshape(B * Tf, -1),
+            pad_t(betas).reshape(B * Tf, -1),
+            body[..., -3:].reshape(B * Tf, 3))
+        return (verts.reshape(B, Tf, -1, 3),
+                rotation_6d_to_matrix(obj[..., :6]), obj[..., 6:9])
+
+    verts, obj_rot, obj_trans = fk(full, jnp.asarray(hand),
+                                   jnp.asarray(betas))
+    tpl = np.asarray(obj_points[0, :, :3])
+    obj_verts = (np.einsum("tij,pj->tpi", np.asarray(obj_rot[0]), tpl)
+                 + np.asarray(obj_trans[0])[:, None])
+    os.makedirs(args.render_dir, exist_ok=True)
+    visualize_body_obj(
+        np.asarray(verts[0]), np.asarray(smpl.faces), obj_verts, None,
+        past_len=args.past_len,
+        save_path=os.path.join(args.render_dir, f"rollout{i}.gif"))
 
 
 if __name__ == "__main__":

@@ -28,11 +28,17 @@ def test_eval_smpl_long_synthetic(monkeypatch, tmp_path, capsys):
 
     _run(main, ["--synthetic", "1", "--batch_size", "2", "--rollouts", "1",
                 "--respacing", "5", "--mode", "no_correction",
-                "--out_dir", str(tmp_path)], monkeypatch)
+                "--out_dir", str(tmp_path),
+                "--render_dir", str(tmp_path / "gifs")], monkeypatch)
     out = capsys.readouterr().out
     assert "rolled out 60 frames" in out  # 35 + 25 (one extra chunk)
     roll = np.load(tmp_path / "rollout_0.npy")
     assert roll.shape[1] == 60 and np.isfinite(roll).all()
+    # the full-horizon render covers every rolled-out frame
+    from PIL import Image
+
+    gif = Image.open(tmp_path / "gifs" / "rollout0.gif")
+    assert gif.n_frames == 60
 
 
 def test_optimization_cli_from_samples(monkeypatch, tmp_path, capsys):
