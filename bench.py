@@ -426,7 +426,10 @@ def main():
             "metric": "SMPL-MDM train steps/sec/chip (B=32, 16-term loss)",
             "value": round(steps_s, 3),
             "unit": "steps/s/chip",
-            "vs_baseline": round(steps_s * B, 1),  # clips/sec
+            "clips_per_sec": round(steps_s * B, 1),
+            # no torch-CPU train baseline is cached; keep the field's
+            # speedup-ratio contract instead of smuggling clips/s into it
+            "vs_baseline": None,
         }))
         return
 

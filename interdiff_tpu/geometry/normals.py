@@ -26,7 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 # faces-digest -> (num_verts, [V, K] int32 incident-face ids, padded with F)
+# Bounded FIFO: synthetic fixtures generate fresh random face lists per rng,
+# so an unbounded cache would grow monotonically across a test suite / long
+# process with zero hit-rate benefit for those entries.
 _INCIDENCE_CACHE: Dict[Tuple[str, int], np.ndarray] = {}
+_INCIDENCE_CACHE_MAX = 8
 
 
 def _face_incidence(faces: np.ndarray, num_verts: int) -> np.ndarray:
@@ -47,6 +51,8 @@ def _face_incidence(faces: np.ndarray, num_verts: int) -> np.ndarray:
     pos = np.arange(flat.size, dtype=np.int64) - starts[sorted_v]
     incident = np.full((num_verts, max(K, 1)), F, dtype=np.int32)
     incident[sorted_v, pos] = sorted_f
+    if len(_INCIDENCE_CACHE) >= _INCIDENCE_CACHE_MAX:
+        _INCIDENCE_CACHE.pop(next(iter(_INCIDENCE_CACHE)))
     _INCIDENCE_CACHE[key] = incident
     return incident
 

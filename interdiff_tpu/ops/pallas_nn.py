@@ -37,17 +37,70 @@ from jax.experimental.pallas import tpu as pltpu
 _BB = 8  # batch rows per block (sublane tiling requirement on outputs)
 
 
+def _row_dots(a, xt):
+    """[TA, 3] x [3, M] -> [TA, M] as three [TA,1]x[1,M] VPU FMAs (a size-3
+    dot_general contraction makes Mosaic spill catastrophically — see the
+    module docstring)."""
+    acc = a[:, 0:1] * xt[0:1, :]
+    acc = acc + a[:, 1:2] * xt[1:2, :]
+    return acc + a[:, 2:3] * xt[2:3, :]
+
+
+def _row_scores(a, bt):
+    """Per-candidate ``|b_j|^2 - 2 a.b_j`` (argmin-equivalent to the squared
+    distance; the |a|^2 constant is added back outside the kernel)."""
+    b2 = jnp.sum(bt * bt, axis=0, keepdims=True)  # [1, M]
+    return b2 - 2.0 * _row_dots(a, bt)
+
+
 def _nn_kernel(a_ref, bt_ref, dist_ref, idx_ref):
     for r in range(_BB):  # unrolled: 2D ops only, no 3D broadcasts
-        a = a_ref[r]  # [TA, 3]
-        bt = bt_ref[r]  # [3, M]
-        b2 = jnp.sum(bt * bt, axis=0, keepdims=True)  # [1, M]
-        acc = a[:, 0:1] * bt[0:1, :]
-        acc = acc + a[:, 1:2] * bt[1:2, :]
-        acc = acc + a[:, 2:3] * bt[2:3, :]  # [TA, M]
-        scores = b2 - 2.0 * acc
+        scores = _row_scores(a_ref[r], bt_ref[r])  # [TA, M]
         dist_ref[r] = jnp.min(scores, axis=-1)
         idx_ref[r] = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+
+
+def _run_nn_kernel(kernel, a, surfaces, *, n_extra_f32_outs, tile_a,
+                   interpret):
+    """Shared pallas_call scaffolding for the NN-sweep kernels: pad the
+    queries to (_BB, tile_a) block multiples, pre-transpose every [B, M, 3]
+    surface input to [Bp, 3, M] (so all kernel intermediates are 2D-tiled),
+    launch over a (batch-blocks, query-tiles) grid, then slice the padding
+    off and convert the partial scores back to clamped squared distances.
+
+    ``kernel`` must write ``dist_ref`` first, then ``n_extra_f32_outs``
+    float32 per-query outputs, then an int32 ``idx_ref``.  Returns
+    ``(sq_dist, *extras, idx)``, each [B, N]."""
+    B, N, _ = a.shape
+    M = surfaces[0].shape[1]
+    b_pad = (-B) % _BB
+    n_pad = (-N) % tile_a
+    if b_pad or n_pad:
+        a_padded = jnp.pad(a, ((0, b_pad), (0, n_pad), (0, 0)))
+    else:
+        a_padded = a
+    ts = [jnp.swapaxes(jnp.pad(s, ((0, b_pad), (0, 0), (0, 0)))
+                       if b_pad else s, 1, 2) for s in surfaces]
+    Bp, Np = B + b_pad, N + n_pad
+
+    n_outs = 2 + n_extra_f32_outs  # dist + extras + idx
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Bp // _BB, Np // tile_a),
+        in_specs=[pl.BlockSpec((_BB, tile_a, 3), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((_BB, 3, M), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM)] * len(ts),
+        out_specs=[pl.BlockSpec((_BB, tile_a), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)] * n_outs,
+        out_shape=[jax.ShapeDtypeStruct((Bp, Np), jnp.float32)]
+        * (n_outs - 1) + [jax.ShapeDtypeStruct((Bp, Np), jnp.int32)],
+        interpret=interpret,
+    )(a_padded, *ts)
+
+    a2 = jnp.sum(a * a, axis=-1)
+    dist = jnp.maximum(outs[0][:B, :N] + a2, 0.0)
+    return (dist,) + tuple(o[:B, :N] for o in outs[1:])
 
 
 @functools.partial(jax.jit, static_argnames=("tile_a", "interpret"))
@@ -56,44 +109,9 @@ def nearest_neighbor_pallas(a: jax.Array, b: jax.Array, *,
                             interpret: bool = False
                             ) -> Tuple[jax.Array, jax.Array]:
     """a: [B, N, 3], b: [B, M, 3] -> (sq_dist [B, N], idx [B, N] int32)."""
-    B, N, _ = a.shape
-    M = b.shape[1]
-    b_pad = (-B) % _BB
-    n_pad = (-N) % tile_a
-    if b_pad or n_pad:
-        a_padded = jnp.pad(a, ((0, b_pad), (0, n_pad), (0, 0)))
-    else:
-        a_padded = a
-    bt = jnp.swapaxes(jnp.pad(b, ((0, b_pad), (0, 0), (0, 0)))
-                      if b_pad else b, 1, 2)  # [Bp, 3, M]
-    Bp, Np = B + b_pad, N + n_pad
-
-    grid = (Bp // _BB, Np // tile_a)
-    dist_part, idx = pl.pallas_call(
-        _nn_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((_BB, tile_a, 3), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BB, 3, M), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((_BB, tile_a), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BB, tile_a), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Bp, Np), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, Np), jnp.int32),
-        ],
-        interpret=interpret,
-    )(a_padded, bt)
-
-    a2 = jnp.sum(a * a, axis=-1)
-    dist = jnp.maximum(dist_part[:B, :N] + a2, 0.0)
-    return dist, idx[:B, :N]
+    dist, idx = _run_nn_kernel(_nn_kernel, a, [b], n_extra_f32_outs=0,
+                               tile_a=tile_a, interpret=interpret)
+    return dist, idx
 
 
 def _signed_nn_kernel(a_ref, bt_ref, nt_ref, dist_ref, sdot_ref, idx_ref):
@@ -111,16 +129,9 @@ def _signed_nn_kernel(a_ref, bt_ref, nt_ref, dist_ref, sdot_ref, idx_ref):
         a = a_ref[r]  # [TA, 3]
         bt = bt_ref[r]  # [3, M]
         nt = nt_ref[r]  # [3, M]
-        b2 = jnp.sum(bt * bt, axis=0, keepdims=True)  # [1, M]
-        acc = a[:, 0:1] * bt[0:1, :]
-        acc = acc + a[:, 1:2] * bt[1:2, :]
-        acc = acc + a[:, 2:3] * bt[2:3, :]  # [TA, M]
-        scores = b2 - 2.0 * acc
+        scores = _row_scores(a, bt)  # [TA, M]
         nb = jnp.sum(nt * bt, axis=0, keepdims=True)  # [1, M]
-        na = a[:, 0:1] * nt[0:1, :]
-        na = na + a[:, 1:2] * nt[1:2, :]
-        na = na + a[:, 2:3] * nt[2:3, :]  # [TA, M]
-        s = na - nb  # n_j . (a - b_j) per candidate
+        s = _row_dots(a, nt) - nb  # n_j . (a - b_j) per candidate
         amin = jnp.argmin(scores, axis=-1).astype(jnp.int32)  # [TA]
         iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         dist_ref[r] = jnp.min(scores, axis=-1)
@@ -138,51 +149,10 @@ def signed_nearest_pallas(a: jax.Array, b: jax.Array, n: jax.Array, *,
     """a: [B, N, 3] queries, b: [B, M, 3] surface points, n: [B, M, 3]
     (pseudo)normals -> (sq_dist [B, N], sdot [B, N], idx [B, N] int32) with
     ``sdot = n[idx] . (a - b[idx])`` (sign < 0 means inside)."""
-    B, N, _ = a.shape
-    M = b.shape[1]
-    b_pad = (-B) % _BB
-    n_pad = (-N) % tile_a
-    if b_pad or n_pad:
-        a_padded = jnp.pad(a, ((0, b_pad), (0, n_pad), (0, 0)))
-    else:
-        a_padded = a
-    bt = jnp.swapaxes(jnp.pad(b, ((0, b_pad), (0, 0), (0, 0)))
-                      if b_pad else b, 1, 2)  # [Bp, 3, M]
-    nt = jnp.swapaxes(jnp.pad(n, ((0, b_pad), (0, 0), (0, 0)))
-                      if b_pad else n, 1, 2)  # [Bp, 3, M]
-    Bp, Np = B + b_pad, N + n_pad
-
-    grid = (Bp // _BB, Np // tile_a)
-    dist_part, sdot, idx = pl.pallas_call(
-        _signed_nn_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((_BB, tile_a, 3), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BB, 3, M), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BB, 3, M), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((_BB, tile_a), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BB, tile_a), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BB, tile_a), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Bp, Np), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, Np), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, Np), jnp.int32),
-        ],
-        interpret=interpret,
-    )(a_padded, bt, nt)
-
-    a2 = jnp.sum(a * a, axis=-1)
-    dist = jnp.maximum(dist_part[:B, :N] + a2, 0.0)
-    return dist, sdot[:B, :N], idx[:B, :N]
+    dist, sdot, idx = _run_nn_kernel(_signed_nn_kernel, a, [b, n],
+                                     n_extra_f32_outs=1, tile_a=tile_a,
+                                     interpret=interpret)
+    return dist, sdot, idx
 
 
 _FORCE_INTERPRET = False  # tests flip this to exercise the VJP off-TPU
@@ -207,11 +177,11 @@ def _nn_diff_fwd(a, b):
 
 
 def _nn_diff_bwd(res, cotangents):
+    from interdiff_tpu.ops.signed_distance import _gather
+
     a, b, i = res
     gd, _ = cotangents  # integer idx output carries no gradient
-    b_near = jnp.take_along_axis(
-        b, i[..., None].astype(jnp.int32).repeat(b.shape[-1], -1), axis=-2)
-    ga = 2.0 * gd[..., None] * (a - b_near)
+    ga = 2.0 * gd[..., None] * (a - _gather(b, i))
 
     def scatter_one(bb, ii, gg):
         return jnp.zeros_like(bb).at[ii].add(gg)
@@ -247,12 +217,12 @@ def _snn_diff_fwd(a, b, n):
 
 
 def _snn_diff_bwd(res, cotangents):
+    from interdiff_tpu.ops.signed_distance import _gather
+
     a, b, n, i = res
     gd, gs = cotangents
-    idx = i[..., None].astype(jnp.int32).repeat(3, -1)
-    b_near = jnp.take_along_axis(b, idx, axis=-2)
-    n_near = jnp.take_along_axis(n, idx, axis=-2)
-    diff = a - b_near
+    n_near = _gather(n, i)
+    diff = a - _gather(b, i)
     ga = 2.0 * gd[..., None] * diff + gs[..., None] * n_near
     gb_rows = -2.0 * gd[..., None] * diff - gs[..., None] * n_near
     gn_rows = gs[..., None] * diff

@@ -57,6 +57,22 @@ def _chunked_nn(a: jax.Array, b: jax.Array, chunk: int) -> Tuple[jax.Array, jax.
     return jnp.maximum(best_d, 0.0), best_i
 
 
+def _flatten_for_pallas(a: jax.Array, *surfaces: jax.Array):
+    """Collapse leading batch dims to the single batch axis the Pallas
+    kernels take, broadcasting shared surface clouds across the batch.
+    Returns the flattened arrays and an ``unflatten`` for per-query
+    outputs."""
+    batch_shape = a.shape[:-2]
+    flat = [a.reshape((-1,) + a.shape[-2:])]
+    flat += [jnp.broadcast_to(s, batch_shape + s.shape[-2:])
+             .reshape((-1,) + s.shape[-2:]) for s in surfaces]
+
+    def unflatten(x):
+        return x.reshape(batch_shape + (a.shape[-2],))
+
+    return flat, unflatten
+
+
 def nearest_neighbor(a: jax.Array, b: jax.Array, *,
                      chunk: Optional[int] = None,
                      use_pallas: Optional[bool] = None
@@ -76,13 +92,9 @@ def nearest_neighbor(a: jax.Array, b: jax.Array, *,
                 nearest_neighbor_pallas_diff,
             )
 
-            batch_shape = a.shape[:-2]
-            a3 = a.reshape((-1,) + a.shape[-2:])
-            b3 = jnp.broadcast_to(
-                b, batch_shape + b.shape[-2:]).reshape((-1,) + b.shape[-2:])
+            (a3, b3), unflatten = _flatten_for_pallas(a, b)
             d, i = nearest_neighbor_pallas_diff(a3, b3)
-            return (d.reshape(batch_shape + (a.shape[-2],)),
-                    i.reshape(batch_shape + (a.shape[-2],)))
+            return unflatten(d), unflatten(i)
     P2 = b.shape[-2]
     if chunk is None or chunk >= P2:
         d = (jnp.sum(a * a, axis=-1)[..., :, None]
@@ -138,16 +150,14 @@ def signed_nearest(a: jax.Array, b: jax.Array, n: jax.Array, *,
     if use_pallas and a.shape[-1] == 3 and a.ndim >= 2:
         from interdiff_tpu.ops.pallas_nn import signed_nearest_pallas_diff
 
-        batch_shape = a.shape[:-2]
-        a3 = a.reshape((-1,) + a.shape[-2:])
-        b3 = jnp.broadcast_to(
-            b, batch_shape + b.shape[-2:]).reshape((-1,) + b.shape[-2:])
-        n3 = jnp.broadcast_to(
-            n, batch_shape + n.shape[-2:]).reshape((-1,) + n.shape[-2:])
+        (a3, b3, n3), unflatten = _flatten_for_pallas(a, b, n)
         d, s = signed_nearest_pallas_diff(a3, b3, n3)
-        return (d.reshape(batch_shape + (a.shape[-2],)),
-                s.reshape(batch_shape + (a.shape[-2],)))
+        return unflatten(d), unflatten(s)
     sq, idx = nearest_neighbor(a, b, chunk=chunk, use_pallas=False)
+    # broadcast shared surface clouds across the query batch dims (the
+    # dense NN above broadcasts implicitly; the gather cannot)
+    b = jnp.broadcast_to(b, a.shape[:-2] + b.shape[-2:])
+    n = jnp.broadcast_to(n, a.shape[:-2] + n.shape[-2:])
     near_b = _gather(b, idx)
     near_n = _gather(n, idx)
     sdot = jnp.sum(near_n * (a - near_b), axis=-1)

@@ -27,7 +27,6 @@ def main():
     print("backend:", jax.default_backend(), jax.devices())
 
     from interdiff_tpu.ops.pallas_nn import nearest_neighbor_pallas
-    from interdiff_tpu.ops.signed_distance import point2point_signed
 
     rng = np.random.default_rng(0)
     # small grid first: 8 batch rows, 128 queries, 256 refs
@@ -48,20 +47,23 @@ def main():
         print(f"pallas ok: compile {t_compile:.1f}s, run {t_run*1e3:.2f}ms",
               flush=True)
 
-        # cross-check + baseline: the chunked XLA production path
+        # cross-check + baseline: the chunked XLA path, FORCED off-pallas —
+        # on TPU point2point_signed/nearest_neighbor default to the kernel
+        # under test, which would make this a pallas-vs-pallas comparison
+        from interdiff_tpu.ops.signed_distance import nearest_neighbor
+
+        xla_nn = jax.jit(lambda a, b: nearest_neighbor(
+            a, b, chunk=512, use_pallas=False))
         t0 = time.time()
-        o2h, _, idx_x, _ = point2point_signed(b, a, None, None, chunk=512)
-        jax.block_until_ready(o2h)
+        d_x, i_x = xla_nn(a, b)
+        jax.block_until_ready((d_x, i_x))
         t_xla_c = time.time() - t0
         t0 = time.time()
         for _ in range(reps):
-            o2h, _, idx_x, _ = point2point_signed(b, a, None, None,
-                                                  chunk=512)
-        jax.block_until_ready(o2h)
+            d_x, i_x = xla_nn(a, b)
+        jax.block_until_ready((d_x, i_x))
         t_xla = (time.time() - t0) / reps
-        ok = np.allclose(np.asarray(d), np.asarray(o2h) ** 2, atol=1e-3) \
-            or np.allclose(np.sqrt(np.maximum(np.asarray(d), 0)),
-                           np.abs(np.asarray(o2h)), atol=1e-4)
+        ok = np.allclose(np.asarray(d), np.asarray(d_x), atol=1e-3)
         print(f"xla chunked: compile {t_xla_c:.1f}s, run {t_xla*1e3:.2f}ms; "
               f"values match: {ok}", flush=True)
 

@@ -96,7 +96,7 @@ def main():
     total += bench("marker NN (67 x P)", jax.jit(
         lambda a, b: nearest_neighbor(a, b, chunk=512)), markers, obj_pts_bt)
 
-    projector = ObjProjectorSmpl()
+    projector = ObjProjectorSmpl(past_len=args.past, future_len=args.future)
     pp, _ = load_correction_smpl()
     contact = jnp.zeros((B, 67), jnp.float32)
     obj9 = jnp.concatenate([obj6, trans.reshape(B, T, 3)], axis=-1)
@@ -123,7 +123,8 @@ def main():
     from interdiff_tpu.eval.smpl_short import (
         SmplEvalConfig, make_correction_denoised_fn)
 
-    cfg = SmplEvalConfig(correction_t_max=50, correction_every=5)
+    cfg = SmplEvalConfig(past_len=args.past, future_len=args.future,
+                         correction_t_max=50, correction_every=5)
     gt = jnp.asarray(rng.standard_normal((B, T, 144)), jnp.float32)
     hand = jnp.asarray(rng.standard_normal((B, T, 90)), jnp.float32)
     markers_idx = np.linspace(0, V - 1, 67).astype(np.int32)

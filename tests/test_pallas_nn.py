@@ -119,3 +119,32 @@ def test_signed_pallas_custom_vjp_matches_xla_grad(rng, monkeypatch):
     for gr, gp in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                    atol=1e-4)
+
+
+def test_dispatch_flattens_batch_dims_and_broadcasts_surface(rng,
+                                                             monkeypatch):
+    """The use_pallas dispatch in ops/signed_distance collapses arbitrary
+    leading batch dims to the kernel's single batch axis and broadcasts a
+    shared surface cloud; results must match the per-element XLA fallback."""
+    import interdiff_tpu.ops.pallas_nn as pn
+
+    monkeypatch.setattr(pn, "_FORCE_INTERPRET", True)
+    B1, B2, N, M = 2, 3, 16, 24
+    a = jnp.asarray(rng.standard_normal((B1, B2, N, 3)).astype(np.float32))
+    b_shared = jnp.asarray(rng.standard_normal((M, 3)).astype(np.float32))
+    n_shared = jnp.asarray(rng.standard_normal((M, 3)).astype(np.float32))
+
+    d_ref, i_ref = nearest_neighbor(a, b_shared, chunk=None,
+                                    use_pallas=False)
+    d_pal, i_pal = nearest_neighbor(a, b_shared, use_pallas=True)
+    assert d_pal.shape == (B1, B2, N)
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+    sd_ref, ss_ref = signed_nearest(a, b_shared, n_shared, use_pallas=False)
+    sd_pal, ss_pal = signed_nearest(a, b_shared, n_shared, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(sd_pal), np.asarray(sd_ref),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ss_pal), np.asarray(ss_ref),
+                               atol=1e-4)
