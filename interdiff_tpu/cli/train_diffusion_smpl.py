@@ -27,6 +27,11 @@ def main():
     parser.add_argument("--past_len", type=int, default=10)
     parser.add_argument("--future_len", type=int, default=25)
     parser.add_argument("--use_pointnet2", type=int, default=1)
+    # model-size knobs mirroring the reference trainer's flags
+    # (`interdiff/train_diffusion_smpl.py:538-604`)
+    parser.add_argument("--embedding_dim", type=int, default=256)
+    parser.add_argument("--ff_size", type=int, default=1024)
+    parser.add_argument("--num_layers", type=int, default=8)
     parser.add_argument("--seed", type=int, default=233)
     parser.add_argument("--resume_checkpoint", default=None,
                         help="orbax ckpt dir to resume params from")
@@ -76,7 +81,9 @@ def main():
 
     rng = seed_everything(args.seed)
     cfg = SmplTrackConfig(past_len=args.past_len, future_len=args.future_len,
-                          use_pointnet2=bool(args.use_pointnet2))
+                          use_pointnet2=bool(args.use_pointnet2),
+                          embedding_dim=args.embedding_dim,
+                          ff_size=args.ff_size, num_layers=args.num_layers)
     model = cfg.build_model()
     diffusion = cfg.diffusion.build()
 
