@@ -17,7 +17,6 @@ from __future__ import annotations
 import json
 import os
 from argparse import ArgumentParser
-from pathlib import Path
 from typing import Dict, Optional
 
 import numpy as np

@@ -25,7 +25,6 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from interdiff_tpu.geometry.rotations_np import rotvec_to_matrix_np
 
 UNSEEN_OBJECTS = ("chair3", "chair4")
 

@@ -9,7 +9,6 @@ instead we use segment-sum scatter forms that XLA fuses).
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
