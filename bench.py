@@ -419,7 +419,37 @@ def _load_or_measure_baseline() -> float:
     return cache[key]
 
 
+def _require_live_backend(timeout_s: float = 180.0):
+    """Fail fast (instead of hanging forever) if the TPU backend is wedged.
+
+    The axon tunnel can wedge such that ``jax.devices()`` blocks
+    indefinitely (seen 2026-08-17: pool endpoint connection-refused after an
+    abandoned remote compile).  A healthy cold init takes seconds, so a
+    3-minute bound only trips on a genuinely dead backend."""
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        done.set()
+
+    # daemon thread + os._exit: a stuck backend-init thread is non-killable
+    # and would otherwise keep the interpreter alive past SystemExit
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(f"bench: backend init did not complete within {timeout_s:.0f}s"
+              " - the TPU tunnel appears wedged; aborting instead of"
+              " hanging", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(2)
+
+
 def main():
+    _require_live_backend()
     if os.environ.get("INTERDIFF_BENCH_TRAIN") == "1":
         steps_s = measure_tpu_train()
         print(json.dumps({
