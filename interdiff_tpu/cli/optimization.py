@@ -44,6 +44,14 @@ def main():
     parser.add_argument("--seed", type=int, default=233)
     parser.add_argument("--iters", type=int, default=200,
                         help="Adam iterations (`optimization.py:138`)")
+    parser.add_argument("--ratio_denom", type=float, default=350.0,
+                        help="penetration-weight annealing denominator "
+                             "(`optimization.py:140` uses ii/350, so 200 "
+                             "reference iters never exceed 57%% strength — "
+                             "tuned for refining smooth GT clips; when "
+                             "refining jittery diffusion samples, a smaller "
+                             "denom lets the penetration term reach full "
+                             "weight before the best-iterate window opens)")
     parser.add_argument("--limit", type=int, default=0)
     parser.add_argument("--out_dir", default="./results/optimization")
     parser.add_argument("--config", default=None,
@@ -91,7 +99,8 @@ def _run_dataset(args):
     os.makedirs(args.out_dir, exist_ok=True)
 
     cfg = OptimConfig(iters=args.iters,
-                      keep_after=min(150, args.iters - 2))
+                      keep_after=min(150, args.iters - 2),
+                      ratio_denom=args.ratio_denom)
     for i in range(len(ds)):
         clip = ds[i]
         gender = "male" if clip["gender"] == 0 else "female"
@@ -204,7 +213,8 @@ def _run_from_samples(args):
     # (take = i > keep_after, eval/optimization.py) never fires and the
     # refiner silently returns the initial params with best_loss=inf
     ocfg = OptimConfig(iters=args.iters,
-                       keep_after=min(150, args.iters - 2))
+                       keep_after=min(150, args.iters - 2),
+                       ratio_denom=args.ratio_denom)
     # lax.map (not vmap): the refiner body stays unbatched — one compile,
     # sequential clips, and no batching rewrite of the HIGHEST-precision
     # rotation matmuls (whose vmap form trips an XLA:CPU verifier bug)
@@ -293,6 +303,7 @@ def _run_synthetic(args):
                 rng.standard_normal((64, 3)).astype(np.float32) * 0.05),
             cfg=OptimConfig(iters=args.iters,
                             keep_after=min(150, args.iters - 2),
+                            ratio_denom=args.ratio_denom,
                             nn_chunk=None))
         np.savez(os.path.join(args.out_dir, f"synthetic_{i}.npz"),
                  **{k: np.asarray(v) for k, v in out.items()})

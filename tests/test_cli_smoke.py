@@ -52,6 +52,7 @@ def test_optimization_cli_from_samples(monkeypatch, tmp_path, capsys):
     _run(main, ["--synthetic", "1", "--diffusion_ckpt", "",
                 "--respacing", "5", "--iters", "4", "--batch_size", "2",
                 "--past_len", "3", "--future_len", "4",
+                "--ratio_denom", "2",  # full-strength annealing knob plumbed
                 "--out_dir", str(tmp_path)], monkeypatch)
     out = capsys.readouterr().out
     assert "penetrate_before" in out and "penetrate_after" in out
