@@ -273,8 +273,9 @@ def measure_tpu_correction() -> float:
     vertex normals, brute-force signed distance, DCT ST-GCNN projector and
     gated blend, all behind `lax.cond` (`eval/smpl_short.py:80-137`).
 
-    Settings (env-tunable; full-size eval graphs do not compile over the
-    axon tunnel in reasonable time, CLAUDE.md):
+    Settings (env-tunable; defaults are sized for a quick smoke — the
+    recorded full-size numbers use BODY_V=6890 POINTS=2048, which compiles
+    over the axon tunnel in ~10 min with warm component caches):
       INTERDIFF_BENCH_BODY_V   stand-in watertight body verts (default 3072)
       INTERDIFF_BENCH_POINTS   object points (default 1024; reference 2048)
       INTERDIFF_BENCH_BATCH    batch (default 32)

@@ -83,8 +83,43 @@ def main():
     _run_dataset(args)
 
 
+def _make_penetration_fn(smpl, past_len):
+    """Fraction of object points inside the body over future frames —
+    the `penetrate` metric (`eval_smpl_short.py:39-40`).  Shared by the
+    dataset- and sample-refinement modes.  pose [B,T,156] axis-angle,
+    obj_pts [B,P,3] canonical template."""
+    from interdiff_tpu.geometry.normals import vertex_normals
+    from interdiff_tpu.geometry.rotations import axis_angle_to_matrix
+    from interdiff_tpu.ops.signed_distance import signed_nearest
+    from interdiff_tpu.smpl.model import smpl_forward
+
+    faces_j = jnp.asarray(smpl.faces)
+
+    @jax.jit
+    def penetration(pose, trans, betas, obj_aa, obj_trans, obj_pts):
+        B, Tn = pose.shape[:2]
+        verts, _, _, _ = smpl_forward(
+            smpl, pose.reshape(B * Tn, -1), betas.reshape(B * Tn, -1),
+            trans.reshape(B * Tn, 3))
+        rot = axis_angle_to_matrix(obj_aa)
+        pts = (jnp.einsum("btij,bpj->btpi", rot, obj_pts)
+               + obj_trans[:, :, None])
+        normals = vertex_normals(verts, faces_j)
+        # only the o2h sign is consumed -> one fused signed-NN sweep
+        # (see eval/metrics.py for the same rewrite rationale)
+        _, o2h_dot = signed_nearest(
+            pts.reshape(B * Tn, -1, 3), verts, normals, chunk=512)
+        inside = (o2h_dot < 0).reshape(B, Tn, -1).astype(jnp.float32)
+        return inside[:, past_len:].mean(axis=(1, 2))
+
+    return penetration
+
+
 def _run_dataset(args):
-    """Reference mode: refine ground-truth dataset clips."""
+    """Reference mode: refine ground-truth dataset clips and report the
+    penetration metric before/after (the reference's own regime — the
+    annealing/weights at `optimization.py:68,101-105` are tuned for
+    already-smooth registrations, unlike the sampled-future mode below)."""
     from interdiff_tpu.cli.common import load_eval_sequences, load_smpl_models
     from interdiff_tpu.data.behave import BehaveDataset
     from interdiff_tpu.eval.optimization import OptimConfig, optimize_clip
@@ -101,26 +136,57 @@ def _run_dataset(args):
     cfg = OptimConfig(iters=args.iters,
                       keep_after=min(150, args.iters - 2),
                       ratio_denom=args.ratio_denom)
+    # jit per gender: eager optimize_clip would dispatch every pre-FK op
+    # as its own RPC over the axon tunnel
+    refine_fns, pen_fns = {}, {}
+
+    def _fns(gender):
+        if gender not in refine_fns:
+            smpl = smpl_models[gender]
+            refine_fns[gender] = jax.jit(
+                lambda bp, hp, tr, be, oa, ot, op, _s=smpl: optimize_clip(
+                    _s, body_pose=bp, hand_pose=hp, body_trans=tr, betas=be,
+                    obj_angles=oa, obj_trans=ot, obj_points=op, cfg=cfg))
+            pen_fns[gender] = _make_penetration_fn(smpl, args.past_len)
+        return refine_fns[gender], pen_fns[gender]
+
+    tot_before, tot_after, nb = 0.0, 0.0, 0
     for i in range(len(ds)):
         clip = ds[i]
         gender = "male" if clip["gender"] == 0 else "female"
-        smpl = smpl_models[gender]
-        out = optimize_clip(
-            smpl,
-            body_pose=jnp.asarray(clip["body_pose"][:, :66]),
-            hand_pose=jnp.asarray(clip["body_pose"][:, 66:]),
-            body_trans=jnp.asarray(clip["body_trans"]),
-            betas=jnp.asarray(clip["body_betas"]),
-            obj_angles=jnp.asarray(clip["obj_angles"]),
-            obj_trans=jnp.asarray(clip["obj_trans"]),
-            obj_points=jnp.asarray(clip["obj_points"][:, :3]),
-            cfg=cfg,
-        )
+        refine, penetration = _fns(gender)
+        body_pose = jnp.asarray(clip["body_pose"][:, :66])
+        hand_pose = jnp.asarray(clip["body_pose"][:, 66:])
+        body_trans = jnp.asarray(clip["body_trans"])
+        betas = jnp.asarray(clip["body_betas"])
+        obj_aa = jnp.asarray(clip["obj_angles"])
+        obj_tr = jnp.asarray(clip["obj_trans"])
+        obj_pts = jnp.asarray(clip["obj_points"][:, :3])
+        out = refine(body_pose, hand_pose, body_trans, betas,
+                     obj_aa, obj_tr, obj_pts)
+        pen_before = penetration(
+            jnp.concatenate([body_pose, hand_pose], 1)[None], body_trans[None],
+            betas[None], obj_aa[None], obj_tr[None], obj_pts[None])
+        pen_after = penetration(
+            out["pose"][None], out["trans"][None], betas[None],
+            out["obj_angles"][None], out["obj_trans"][None], obj_pts[None])
+        nb += 1
+        tot_before += float(pen_before.mean())
+        tot_after += float(pen_after.mean())
         np.savez(os.path.join(args.out_dir, f"clip_{i}.npz"),
                  **{k: np.asarray(v) for k, v in out.items()})
-        print(i, "best_loss", float(out["best_loss"]))
+        print(i, {"penetrate_before": round(tot_before / nb, 5),
+                  "penetrate_after": round(tot_after / nb, 5),
+                  "best_loss": round(float(out["best_loss"]), 5)})
         if args.limit and i + 1 >= args.limit:
             break
+
+    summary = {"penetrate_before": tot_before / max(nb, 1),
+               "penetrate_after": tot_after / max(nb, 1),
+               "clips": nb, "iters": args.iters, "mode": "dataset"}
+    with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f)
+    print(json.dumps(summary))
 
 
 def _run_from_samples(args):
@@ -141,11 +207,7 @@ def _run_from_samples(args):
         make_sampler,
         postprocess_sample,
     )
-    from interdiff_tpu.geometry.normals import vertex_normals
-    from interdiff_tpu.geometry.rotations import axis_angle_to_matrix
     from interdiff_tpu.models.mdm_smpl import MDMSmpl, smpl_gt_from_raw
-    from interdiff_tpu.ops.signed_distance import signed_nearest
-    from interdiff_tpu.smpl.model import smpl_forward
 
     rng = seed_everything(args.seed)
     cfg = SmplEvalConfig(past_len=args.past_len, future_len=args.future_len)
@@ -186,28 +248,7 @@ def _run_from_samples(args):
                                   use_correction=False))
     post = jax.jit(lambda x, hand, betas: postprocess_sample(
         cfg, smpl, x, hand, betas))
-    faces_j = jnp.asarray(smpl.faces)
-    pp = args.past_len
-
-    @jax.jit
-    def penetration(pose, trans, betas, obj_aa, obj_trans, obj_pts):
-        """Fraction of object points inside the body over future frames —
-        the `penetrate` metric (`eval_smpl_short.py:39-40`).  pose
-        [B,T,156] axis-angle, obj_pts [B,P,3] canonical template."""
-        B, Tn = pose.shape[:2]
-        verts, _, _, _ = smpl_forward(
-            smpl, pose.reshape(B * Tn, -1), betas.reshape(B * Tn, -1),
-            trans.reshape(B * Tn, 3))
-        rot = axis_angle_to_matrix(obj_aa)
-        pts = (jnp.einsum("btij,bpj->btpi", rot, obj_pts)
-               + obj_trans[:, :, None])
-        normals = vertex_normals(verts, faces_j)
-        # only the o2h sign is consumed -> one fused signed-NN sweep
-        # (see eval/metrics.py for the same rewrite rationale)
-        _, o2h_dot = signed_nearest(
-            pts.reshape(B * Tn, -1, 3), verts, normals, chunk=512)
-        inside = (o2h_dot < 0).reshape(B, Tn, -1).astype(jnp.float32)
-        return inside[:, pp:].mean(axis=(1, 2))
+    penetration = _make_penetration_fn(smpl, args.past_len)
 
     # keep_after must stay below iters-1 or the best-iterate tracker
     # (take = i > keep_after, eval/optimization.py) never fires and the

@@ -137,3 +137,27 @@ def test_prepare_then_load_then_batch(staged):
                           jnp.asarray(batch["obj_trans"]))
     assert gt.shape == (2, T, 144)
     assert bool(jnp.isfinite(gt).all())
+
+
+def test_optimization_cli_dataset_mode(staged, monkeypatch, tmp_path, capsys):
+    """The reference's own regime (`optimization.py:216-219`): refine real
+    dataset clips and report the penetration delta."""
+    import sys
+
+    root, _ = staged
+    from interdiff_tpu.cli.optimization import main
+
+    monkeypatch.setattr(sys, "argv", [
+        "optimization", "--motion_path", os.path.join(root, "sequence"),
+        "--synthetic_body", "--iters", "4", "--limit", "1",
+        "--past_len", "10", "--future_len", "25",
+        "--out_dir", str(tmp_path)])
+    main()
+    out = capsys.readouterr().out
+    assert "penetrate_before" in out and "penetrate_after" in out
+    assert os.path.exists(os.path.join(tmp_path, "clip_0.npz"))
+    summary = json.loads(
+        open(os.path.join(tmp_path, "summary.json")).read())
+    assert summary["mode"] == "dataset" and summary["clips"] == 1
+    assert np.isfinite(summary["penetrate_before"])
+    assert np.isfinite(summary["penetrate_after"])
