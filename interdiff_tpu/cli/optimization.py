@@ -52,6 +52,12 @@ def main():
                              "refining jittery diffusion samples, a smaller "
                              "denom lets the penetration term reach full "
                              "weight before the best-iterate window opens)")
+    parser.add_argument("--pen_fix_body", action="store_true",
+                        help="stop-grad the body in the penetration term so "
+                             "it can only push the OBJECT out — disables the "
+                             "reference objective's surface-chasing mode "
+                             "(see OptimConfig.pen_fix_body), needed when "
+                             "refining diffusion samples")
     parser.add_argument("--limit", type=int, default=0)
     parser.add_argument("--out_dir", default="./results/optimization")
     parser.add_argument("--config", default=None,
@@ -135,7 +141,8 @@ def _run_dataset(args):
 
     cfg = OptimConfig(iters=args.iters,
                       keep_after=min(150, args.iters - 2),
-                      ratio_denom=args.ratio_denom)
+                      ratio_denom=args.ratio_denom,
+                      pen_fix_body=args.pen_fix_body)
     # jit per gender: eager optimize_clip would dispatch every pre-FK op
     # as its own RPC over the axon tunnel
     refine_fns, pen_fns = {}, {}
@@ -255,7 +262,8 @@ def _run_from_samples(args):
     # refiner silently returns the initial params with best_loss=inf
     ocfg = OptimConfig(iters=args.iters,
                        keep_after=min(150, args.iters - 2),
-                       ratio_denom=args.ratio_denom)
+                       ratio_denom=args.ratio_denom,
+                      pen_fix_body=args.pen_fix_body)
     # lax.map (not vmap): the refiner body stays unbatched — one compile,
     # sequential clips, and no batching rewrite of the HIGHEST-precision
     # rotation matmuls (whose vmap form trips an XLA:CPU verifier bug)
@@ -345,6 +353,7 @@ def _run_synthetic(args):
             cfg=OptimConfig(iters=args.iters,
                             keep_after=min(150, args.iters - 2),
                             ratio_denom=args.ratio_denom,
+                            pen_fix_body=args.pen_fix_body,
                             nn_chunk=None))
         np.savez(os.path.join(args.out_dir, f"synthetic_{i}.npz"),
                  **{k: np.asarray(v) for k, v in out.items()})

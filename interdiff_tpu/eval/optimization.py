@@ -41,6 +41,17 @@ class OptimConfig:
     ratio_denom: float = 350.0  # penetration annealing (`optimization.py:141`)
     foot_static_thresh: float = 0.008
     nn_chunk: Optional[int] = 512
+    # The reference objective (|signed| * 1[inside], `optimization.py:68,77`)
+    # has a degenerate descent direction: an inside point's distance-to-
+    # surface also shrinks by pulling the body surface TOWARD the point
+    # (contact verts are unanchored, w_verts=0 within 0.5 m), which engulfs
+    # more of the object.  Refining smooth GT registrations never excites it,
+    # but on jittery diffusion samples it wins — measured on the real BEHAVE
+    # sequence, penetrate fraction 0.201->0.272 at the reference annealing
+    # and 0.201->0.328 with FULL-strength annealing (more pen weight = worse).
+    # pen_fix_body stop-grads the body in the penetration term only, so the
+    # term can only push the object out, never chase it with the surface.
+    pen_fix_body: bool = False
 
 
 def _first_second_order(x: jax.Array, w2: float, w1: float) -> jax.Array:
@@ -98,7 +109,12 @@ def optimize_clip(
         # fused signed-NN (one sweep, custom VJP through queries, surface
         # AND normals) replaces the bidirectional chamfer whose h2o half
         # and argmin gathers were unused (`optimization.py:55-64`)
-        o2h_sq, o2h_dot = signed_nearest(pts, verts, normals,
+        if cfg.pen_fix_body:  # see OptimConfig.pen_fix_body
+            pen_surf = jax.lax.stop_gradient(verts)
+            pen_norm = jax.lax.stop_gradient(normals)
+        else:
+            pen_surf, pen_norm = verts, normals
+        o2h_sq, o2h_dot = signed_nearest(pts, pen_surf, pen_norm,
                                          chunk=cfg.nn_chunk)
         # safe_sqrt: grad(sqrt)(0)=inf would NaN the Adam refinement the
         # moment a penetrating point crosses the surface (clamped sq == 0)
