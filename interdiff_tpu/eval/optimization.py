@@ -54,6 +54,11 @@ class OptimConfig:
     pen_fix_body: bool = False
 
 
+# columns of the per-iteration diagnostics trace returned by optimize_clip
+TERM_NAMES = ("loss_dist_o", "loss_verts_reg", "reg_anchors", "loss_smooth",
+              "pen_depth", "pen_frac")
+
+
 def _first_second_order(x: jax.Array, w2: float, w1: float) -> jax.Array:
     """w2 * ||accel||^2 + w1 * ||vel||^2 smoothness (`:89-107`)."""
     acc = (x[1:-1] - x[:-2]) - (x[2:] - x[1:-1])
@@ -121,8 +126,14 @@ def optimize_clip(
         o2h_signed = safe_sqrt(o2h_sq) * jnp.sign(o2h_dot)
 
         pen_w = jnp.where(ratio < 1.0, 20.0 * ratio, 20.0)
-        w = jnp.where(o2h_signed < 0, pen_w, 0.0)
+        inside = o2h_signed < 0
+        w = jnp.where(inside, pen_w, 0.0)
         loss_dist_o = jnp.mean(jnp.sum(jnp.abs(o2h_signed) * w, axis=1))
+        # unweighted penetration diagnostics (not part of the objective):
+        # mean depth over inside points and the fraction-inside eval metric
+        n_in = jnp.maximum(inside.sum(), 1)
+        pen_depth = jnp.sum(jnp.where(inside, -o2h_signed, 0.0)) / n_in
+        pen_frac = inside.mean()
 
         # vert anchor on non-contact region (`:72-78`): "any object point
         # within 0.5 m" == nearest object point within 0.5 m — a chunked NN
@@ -167,24 +178,33 @@ def optimize_clip(
                   + _first_second_order(p["obj_rot"], 1000, 100)
                   + loss_body_v)
 
-        return loss_dist_o + loss_verts_reg + reg + loss_v
+        total = loss_dist_o + loss_verts_reg + reg + loss_v
+        # per-term trace, the reference's per-iteration loss_dict print
+        # (`optimization.py:139-142`) as a single [iters, K] device array
+        terms = jnp.stack([loss_dist_o, loss_verts_reg, reg, loss_v,
+                           pen_depth, pen_frac])
+        return total, terms
 
     tx = optax.adam(cfg.lr)
 
     def step(i, carry):
-        params, opt_state, best_loss, best_params = carry
+        params, opt_state, best_loss, best_params, trace = carry
         ratio = i.astype(jnp.float32) / cfg.ratio_denom
-        loss, grads = jax.value_and_grad(loss_fn)(params, ratio)
+        (loss, terms), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, ratio)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         take = jnp.logical_and(i > cfg.keep_after, loss < best_loss)
         best_loss = jnp.where(take, loss, best_loss)
         best_params = jax.tree.map(
             lambda b, p: jnp.where(take, p, b), best_params, params)
-        return params, opt_state, best_loss, best_params
+        trace = jax.lax.dynamic_update_index_in_dim(
+            trace, terms, i, axis=0)
+        return params, opt_state, best_loss, best_params, trace
 
-    init = (params0, tx.init(params0), jnp.asarray(jnp.inf), params0)
-    _, _, best_loss, best = jax.lax.fori_loop(0, cfg.iters, step, init)
+    trace0 = jnp.zeros((cfg.iters, len(TERM_NAMES)), jnp.float32)
+    init = (params0, tx.init(params0), jnp.asarray(jnp.inf), params0, trace0)
+    _, _, best_loss, best, trace = jax.lax.fori_loop(0, cfg.iters, step, init)
 
     return {
         "pose": jnp.concatenate([
@@ -195,4 +215,5 @@ def optimize_clip(
         "obj_angles": matrix_to_axis_angle(best["obj_rot"]),
         "obj_trans": best["obj_transl"],
         "best_loss": best_loss,
+        "terms": trace,  # [iters, len(TERM_NAMES)]
     }
