@@ -53,11 +53,11 @@ def main():
                              "denom lets the penetration term reach full "
                              "weight before the best-iterate window opens)")
     parser.add_argument("--pen_fix_body", action="store_true",
-                        help="stop-grad the body in the penetration term so "
-                             "it can only push the OBJECT out — disables the "
-                             "reference objective's surface-chasing mode "
-                             "(see OptimConfig.pen_fix_body), needed when "
-                             "refining diffusion samples")
+                        help="ablation: stop-grad the body in the "
+                             "penetration term so it can only push the "
+                             "OBJECT out; measured WORSE on fraction-inside "
+                             "(the body gradient is the workhorse — see "
+                             "OptimConfig.pen_fix_body)")
     parser.add_argument("--limit", type=int, default=0)
     parser.add_argument("--out_dir", default="./results/optimization")
     parser.add_argument("--config", default=None,
@@ -90,13 +90,18 @@ def main():
 
 
 def _make_penetration_fn(smpl, past_len):
-    """Fraction of object points inside the body over future frames —
-    the `penetrate` metric (`eval_smpl_short.py:39-40`).  Shared by the
-    dataset- and sample-refinement modes.  pose [B,T,156] axis-angle,
-    obj_pts [B,P,3] canonical template."""
+    """Penetration over future frames, both lenses: the fraction of object
+    points inside the body (the `penetrate` eval metric,
+    `eval_smpl_short.py:39-40`) AND the mean depth of the inside points —
+    the quantity the refiner objective actually targets
+    (`optimization.py:68,77` weights |signed| of inside points).  The two
+    diverge: measured on the real sequence, refinement always slashes depth
+    while fraction can rise (many shallow contacts replacing few deep ones).
+    pose [B,T,156] axis-angle, obj_pts [B,P,3] canonical template."""
     from interdiff_tpu.geometry.normals import vertex_normals
     from interdiff_tpu.geometry.rotations import axis_angle_to_matrix
     from interdiff_tpu.ops.signed_distance import signed_nearest
+    from interdiff_tpu.ops.signed_distance import safe_sqrt
     from interdiff_tpu.smpl.model import smpl_forward
 
     faces_j = jnp.asarray(smpl.faces)
@@ -111,12 +116,16 @@ def _make_penetration_fn(smpl, past_len):
         pts = (jnp.einsum("btij,bpj->btpi", rot, obj_pts)
                + obj_trans[:, :, None])
         normals = vertex_normals(verts, faces_j)
-        # only the o2h sign is consumed -> one fused signed-NN sweep
+        # sign AND magnitude consumed -> one fused signed-NN sweep
         # (see eval/metrics.py for the same rewrite rationale)
-        _, o2h_dot = signed_nearest(
+        o2h_sq, o2h_dot = signed_nearest(
             pts.reshape(B * Tn, -1, 3), verts, normals, chunk=512)
-        inside = (o2h_dot < 0).reshape(B, Tn, -1).astype(jnp.float32)
-        return inside[:, past_len:].mean(axis=(1, 2))
+        inside = (o2h_dot < 0).reshape(B, Tn, -1)[:, past_len:]
+        frac = inside.astype(jnp.float32).mean(axis=(1, 2))
+        depth = safe_sqrt(o2h_sq).reshape(B, Tn, -1)[:, past_len:]
+        n_in = jnp.maximum(inside.sum(axis=(1, 2)), 1)
+        depth = jnp.where(inside, depth, 0.0).sum(axis=(1, 2)) / n_in
+        return frac, depth
 
     return penetration
 
@@ -157,7 +166,9 @@ def _run_dataset(args):
             pen_fns[gender] = _make_penetration_fn(smpl, args.past_len)
         return refine_fns[gender], pen_fns[gender]
 
-    tot_before, tot_after, nb = 0.0, 0.0, 0
+    tot = {"penetrate_before": 0.0, "penetrate_after": 0.0,
+           "depth_before": 0.0, "depth_after": 0.0}
+    nb = 0
     for i in range(len(ds)):
         clip = ds[i]
         gender = "male" if clip["gender"] == 0 else "female"
@@ -171,26 +182,26 @@ def _run_dataset(args):
         obj_pts = jnp.asarray(clip["obj_points"][:, :3])
         out = refine(body_pose, hand_pose, body_trans, betas,
                      obj_aa, obj_tr, obj_pts)
-        pen_before = penetration(
+        frac_b, depth_b = penetration(
             jnp.concatenate([body_pose, hand_pose], 1)[None], body_trans[None],
             betas[None], obj_aa[None], obj_tr[None], obj_pts[None])
-        pen_after = penetration(
+        frac_a, depth_a = penetration(
             out["pose"][None], out["trans"][None], betas[None],
             out["obj_angles"][None], out["obj_trans"][None], obj_pts[None])
         nb += 1
-        tot_before += float(pen_before.mean())
-        tot_after += float(pen_after.mean())
+        tot["penetrate_before"] += float(frac_b.mean())
+        tot["penetrate_after"] += float(frac_a.mean())
+        tot["depth_before"] += float(depth_b.mean())
+        tot["depth_after"] += float(depth_a.mean())
         np.savez(os.path.join(args.out_dir, f"clip_{i}.npz"),
                  **{k: np.asarray(v) for k, v in out.items()})
-        print(i, {"penetrate_before": round(tot_before / nb, 5),
-                  "penetrate_after": round(tot_after / nb, 5),
-                  "best_loss": round(float(out["best_loss"]), 5)})
+        print(i, {k: round(v / nb, 5) for k, v in tot.items()},
+              {"best_loss": round(float(out["best_loss"]), 5)})
         if args.limit and i + 1 >= args.limit:
             break
 
-    summary = {"penetrate_before": tot_before / max(nb, 1),
-               "penetrate_after": tot_after / max(nb, 1),
-               "clips": nb, "iters": args.iters, "mode": "dataset"}
+    summary = {k: v / max(nb, 1) for k, v in tot.items()}
+    summary.update(clips=nb, iters=args.iters, mode="dataset")
     with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
         json.dump(summary, f)
     print(json.dumps(summary))
@@ -276,7 +287,9 @@ def _run_from_samples(args):
 
     os.makedirs(args.out_dir, exist_ok=True)
     key = jax.random.PRNGKey(args.seed)
-    tot_before, tot_after, nb = 0.0, 0.0, 0
+    tot = {"penetrate_before": 0.0, "penetrate_after": 0.0,
+           "depth_before": 0.0, "depth_after": 0.0}
+    nb = 0
     for batch in loader:
         gt = smpl_gt_from_raw(
             jnp.asarray(batch["body_pose"][..., :66]),
@@ -294,32 +307,31 @@ def _run_from_samples(args):
         body_pred, obj_pred = out["body_pred"], out["obj_pred"]
         pts3 = obj_points6[..., :3]
 
-        pen_before = penetration(
+        frac_b, depth_b = penetration(
             body_pred[..., :156], body_pred[..., 156:], betas,
             obj_pred[..., :3], obj_pred[..., 3:], pts3)
 
         refined = refine(body_pred[..., :66], body_pred[..., 66:156],
                          body_pred[..., 156:], betas, obj_pred[..., :3],
                          obj_pred[..., 3:], pts3)
-        pen_after = penetration(
+        frac_a, depth_a = penetration(
             refined["pose"], refined["trans"], betas,
             refined["obj_angles"], refined["obj_trans"], pts3)
 
         nb += 1
-        tot_before += float(pen_before.mean())
-        tot_after += float(pen_after.mean())
-        print(nb, {"penetrate_before": round(tot_before / nb, 5),
-                   "penetrate_after": round(tot_after / nb, 5),
-                   "best_loss": round(float(refined["best_loss"].mean()), 5)})
+        tot["penetrate_before"] += float(frac_b.mean())
+        tot["penetrate_after"] += float(frac_a.mean())
+        tot["depth_before"] += float(depth_b.mean())
+        tot["depth_after"] += float(depth_a.mean())
+        print(nb, {k: round(v / nb, 5) for k, v in tot.items()},
+              {"best_loss": round(float(refined["best_loss"].mean()), 5)})
         np.savez(os.path.join(args.out_dir, f"refined_{nb}.npz"),
                  **{k2: np.asarray(v) for k2, v in refined.items()})
         if args.limit and nb >= args.limit:
             break
 
-    summary = {"penetrate_before": tot_before / max(nb, 1),
-               "penetrate_after": tot_after / max(nb, 1),
-               "batches": nb, "iters": args.iters,
-               "respacing": args.respacing}
+    summary = {k: v / max(nb, 1) for k, v in tot.items()}
+    summary.update(batches=nb, iters=args.iters, respacing=args.respacing)
     with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
         json.dump(summary, f)
     print(json.dumps(summary))

@@ -41,16 +41,19 @@ class OptimConfig:
     ratio_denom: float = 350.0  # penetration annealing (`optimization.py:141`)
     foot_static_thresh: float = 0.008
     nn_chunk: Optional[int] = 512
-    # The reference objective (|signed| * 1[inside], `optimization.py:68,77`)
-    # has a degenerate descent direction: an inside point's distance-to-
-    # surface also shrinks by pulling the body surface TOWARD the point
-    # (contact verts are unanchored, w_verts=0 within 0.5 m), which engulfs
-    # more of the object.  Refining smooth GT registrations never excites it,
-    # but on jittery diffusion samples it wins — measured on the real BEHAVE
-    # sequence, penetrate fraction 0.201->0.272 at the reference annealing
-    # and 0.201->0.328 with FULL-strength annealing (more pen weight = worse).
-    # pen_fix_body stop-grads the body in the penetration term only, so the
-    # term can only push the object out, never chase it with the surface.
+    # Ablation knob: stop-grad the body in the penetration term so it can
+    # only push the OBJECT out.  Measured on the real BEHAVE sequence
+    # (stand-in body, 8 GT clips) the body gradient is the WORKHORSE, not a
+    # failure mode — fraction-inside after refinement is 0.255 with it and
+    # 0.284 without (deep clip 0: 0.436->0.255 vs 0.436->0.572): the body
+    # excavating away from embedded points flips whole regions outside.
+    # The per-term trace shows the systematic fraction creep on shallow
+    # clips comes from the weight-1000 smoothness terms flattening true
+    # motion acceleration while the annealed pen weight is still ~0
+    # (iters 0-25), sweeping the object into the body; penetration DEPTH
+    # meanwhile falls monotonically in every measured configuration
+    # (e.g. 1.11->0.17, 0.23->0.04 m) — the |signed|-of-inside-points
+    # objective (`optimization.py:68,77`) targets depth, not count.
     pen_fix_body: bool = False
 
 

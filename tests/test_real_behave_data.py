@@ -144,8 +144,15 @@ def test_optimization_cli_dataset_mode(staged, monkeypatch, tmp_path, capsys):
     dataset clips and report the penetration delta."""
     import sys
 
-    root, _ = staged
+    root, smpl_models = staged
     from interdiff_tpu.cli.optimization import main
+
+    # order-independent: stage the contact labels this mode's loader needs
+    seq_dir = os.path.join(root, "sequence", "Date01_Sub01_backpack_back")
+    if not os.path.exists(os.path.join(seq_dir, "contact.npz")):
+        from interdiff_tpu.data.prepare_behave import prepare_sequence
+
+        prepare_sequence(seq_dir, REF_OBJ, smpl_models, num_samples=256)
 
     monkeypatch.setattr(sys, "argv", [
         "optimization", "--motion_path", os.path.join(root, "sequence"),
