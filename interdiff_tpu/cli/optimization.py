@@ -58,6 +58,13 @@ def main():
                              "OBJECT out; measured WORSE on fraction-inside "
                              "(the body gradient is the workhorse — see "
                              "OptimConfig.pen_fix_body)")
+    parser.add_argument("--dispatch_chunk", type=int, default=0,
+                        help="dataset mode: split the per-clip descent into "
+                             "bounded dispatches of N iterations (0 = one "
+                             "dispatch). RPC-tunneled TPU workers kill "
+                             "long executions — a single 350-iter dispatch "
+                             "reproducibly crashed the axon worker while "
+                             "200 completed; chunking unblocks --iters>200")
     parser.add_argument("--limit", type=int, default=0)
     parser.add_argument("--out_dir", default="./results/optimization")
     parser.add_argument("--config", default=None,
@@ -137,7 +144,11 @@ def _run_dataset(args):
     already-smooth registrations, unlike the sampled-future mode below)."""
     from interdiff_tpu.cli.common import load_eval_sequences, load_smpl_models
     from interdiff_tpu.data.behave import BehaveDataset
-    from interdiff_tpu.eval.optimization import OptimConfig, optimize_clip
+    from interdiff_tpu.eval.optimization import (
+        OptimConfig,
+        make_chunked_refiner,
+        optimize_clip,
+    )
 
     smpl_models = load_smpl_models(args)
     seqs = load_eval_sequences(args.motion_path, smpl_models)
@@ -159,10 +170,23 @@ def _run_dataset(args):
     def _fns(gender):
         if gender not in refine_fns:
             smpl = smpl_models[gender]
-            refine_fns[gender] = jax.jit(
-                lambda bp, hp, tr, be, oa, ot, op, _s=smpl: optimize_clip(
-                    _s, body_pose=bp, hand_pose=hp, body_trans=tr, betas=be,
-                    obj_angles=oa, obj_trans=ot, obj_points=op, cfg=cfg))
+            if args.dispatch_chunk > 0:
+                # host loop over jitted bounded segments, jitted pieces
+                # shared across the clip loop
+                chunked = make_chunked_refiner(smpl, cfg,
+                                               args.dispatch_chunk)
+
+                def _chunked(bp, hp, tr, be, oa, ot, op, _c=chunked):
+                    return _c(body_pose=bp, hand_pose=hp, body_trans=tr,
+                              betas=be, obj_angles=oa, obj_trans=ot,
+                              obj_points=op)
+                refine_fns[gender] = _chunked
+            else:
+                refine_fns[gender] = jax.jit(
+                    lambda bp, hp, tr, be, oa, ot, op, _s=smpl: optimize_clip(
+                        _s, body_pose=bp, hand_pose=hp, body_trans=tr,
+                        betas=be, obj_angles=oa, obj_trans=ot, obj_points=op,
+                        cfg=cfg))
             pen_fns[gender] = _make_penetration_fn(smpl, args.past_len)
         return refine_fns[gender], pen_fns[gender]
 

@@ -69,43 +69,62 @@ def _first_second_order(x: jax.Array, w2: float, w1: float) -> jax.Array:
     return w2 * jnp.mean(acc ** 2) + w1 * jnp.mean(vel ** 2)
 
 
-def optimize_clip(
-    smpl: SmplModel,
-    *,
-    body_pose: jax.Array,  # [T, 66] axis-angle (global + body)
-    hand_pose: jax.Array,  # [T, 90]
-    body_trans: jax.Array,  # [T, 3]
-    betas: jax.Array,  # [T, 10]
-    obj_angles: jax.Array,  # [T, 3]
-    obj_trans: jax.Array,  # [T, 3]
-    obj_points: jax.Array,  # [P, 3]
-    cfg: OptimConfig = OptimConfig(),
-) -> Dict[str, jax.Array]:
-    """Refine one clip; returns axis-angle pose/trans dict (the arrays the
-    reference writes back into the data dict, `optimization.py:168-173`)."""
-    T = body_pose.shape[0]
+def _refiner_pieces(smpl: SmplModel, cfg: OptimConfig):
+    """(init_fn, step_fn, finalize_fn) for the per-clip Adam refinement.
 
-    glo_rot0 = axis_angle_to_matrix(body_pose[:, :3].reshape(T, 1, 3))
-    body_rot0 = axis_angle_to_matrix(body_pose[:, 3:].reshape(T, -1, 3))
-    hand_rot0 = axis_angle_to_matrix(hand_pose.reshape(T, -1, 3))
-    obj_rot0 = axis_angle_to_matrix(obj_angles)
+    All clip inputs are FUNCTION ARGUMENTS (not closure constants), so both
+    the single-dispatch `optimize_clip` and the bounded-dispatch
+    `optimize_clip_chunked` can jit these once per shape.  Everything the
+    step needs — anchors, GT verts, foot-contact masks — rides in the carry
+    as device arrays."""
+    tx = optax.adam(cfg.lr)
 
-    verts_gt, jtr_gt, _, _ = smpl_forward(
-        smpl, jnp.concatenate([body_pose, hand_pose], axis=1), betas,
-        body_trans)
-    lf, rf = jtr_gt[:, 10], jtr_gt[:, 11]
-    xz = jnp.array([0, 2])
-    left_static = (jnp.linalg.norm(lf[1:][:, xz] - lf[:-1][:, xz], axis=1)
-                   + 1e-6) < cfg.foot_static_thresh
-    right_static = (jnp.linalg.norm(rf[1:][:, xz] - rf[:-1][:, xz], axis=1)
-                    + 1e-6) < cfg.foot_static_thresh
+    def init_fn(body_pose, hand_pose, body_trans, betas, obj_angles,
+                obj_trans, obj_points):
+        T = body_pose.shape[0]
+        glo_rot0 = axis_angle_to_matrix(body_pose[:, :3].reshape(T, 1, 3))
+        body_rot0 = axis_angle_to_matrix(body_pose[:, 3:].reshape(T, -1, 3))
+        hand_rot0 = axis_angle_to_matrix(hand_pose.reshape(T, -1, 3))
+        obj_rot0 = axis_angle_to_matrix(obj_angles)
 
-    params0 = {
-        "body_rot": body_rot0, "transl": body_trans, "glo_rot": glo_rot0,
-        "obj_transl": obj_trans, "obj_rot": obj_rot0, "hand_rot": hand_rot0,
-    }
+        verts_gt, jtr_gt, _, _ = smpl_forward(
+            smpl, jnp.concatenate([body_pose, hand_pose], axis=1), betas,
+            body_trans)
+        lf, rf = jtr_gt[:, 10], jtr_gt[:, 11]
+        xz = jnp.array([0, 2])
+        left_static = (jnp.linalg.norm(lf[1:][:, xz] - lf[:-1][:, xz],
+                                       axis=1) + 1e-6) < cfg.foot_static_thresh
+        right_static = (jnp.linalg.norm(rf[1:][:, xz] - rf[:-1][:, xz],
+                                        axis=1) + 1e-6) < cfg.foot_static_thresh
 
-    def loss_fn(p, ratio):
+        params0 = {
+            "body_rot": body_rot0, "transl": body_trans, "glo_rot": glo_rot0,
+            "obj_transl": obj_trans, "obj_rot": obj_rot0,
+            "hand_rot": hand_rot0,
+        }
+        aux = {
+            "verts_gt": verts_gt, "left_static": left_static,
+            "right_static": right_static, "betas": betas,
+            "obj_points": obj_points, "anchors": {
+                "body_rot": body_rot0, "glo_rot": glo_rot0,
+                "obj_rot": obj_rot0, "transl": body_trans,
+                "obj_transl": obj_trans,
+            },
+        }
+        trace0 = jnp.zeros((cfg.iters, len(TERM_NAMES)), jnp.float32)
+        return (params0, tx.init(params0), jnp.asarray(jnp.inf), params0,
+                trace0, aux)
+
+    def loss_fn(p, ratio, aux):
+        T = p["transl"].shape[0]
+        verts_gt = aux["verts_gt"]
+        betas, obj_points = aux["betas"], aux["obj_points"]
+        left_static, right_static = aux["left_static"], aux["right_static"]
+        anchors = aux["anchors"]
+        body_trans, obj_trans = anchors["transl"], anchors["obj_transl"]
+        glo_rot0, body_rot0 = anchors["glo_rot"], anchors["body_rot"]
+        obj_rot0 = anchors["obj_rot"]
+        xz = jnp.array([0, 2])
         pose = matrix_to_axis_angle(jnp.concatenate(
             [p["glo_rot"], p["body_rot"], p["hand_rot"]], axis=1)
         ).reshape(T, -1)
@@ -188,13 +207,11 @@ def optimize_clip(
                            pen_depth, pen_frac])
         return total, terms
 
-    tx = optax.adam(cfg.lr)
-
-    def step(i, carry):
-        params, opt_state, best_loss, best_params, trace = carry
+    def step_fn(i, carry):
+        params, opt_state, best_loss, best_params, trace, aux = carry
         ratio = i.astype(jnp.float32) / cfg.ratio_denom
         (loss, terms), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, ratio)
+            loss_fn, has_aux=True)(params, ratio, aux)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         take = jnp.logical_and(i > cfg.keep_after, loss < best_loss)
@@ -203,20 +220,98 @@ def optimize_clip(
             lambda b, p: jnp.where(take, p, b), best_params, params)
         trace = jax.lax.dynamic_update_index_in_dim(
             trace, terms, i, axis=0)
-        return params, opt_state, best_loss, best_params, trace
+        return params, opt_state, best_loss, best_params, trace, aux
 
-    trace0 = jnp.zeros((cfg.iters, len(TERM_NAMES)), jnp.float32)
-    init = (params0, tx.init(params0), jnp.asarray(jnp.inf), params0, trace0)
-    _, _, best_loss, best, trace = jax.lax.fori_loop(0, cfg.iters, step, init)
+    def finalize_fn(carry):
+        _, _, best_loss, best, trace, _ = carry
+        T = best["transl"].shape[0]
+        return {
+            "pose": jnp.concatenate([
+                matrix_to_axis_angle(best["glo_rot"]).reshape(T, -1),
+                matrix_to_axis_angle(best["body_rot"]).reshape(T, -1),
+                matrix_to_axis_angle(best["hand_rot"]).reshape(T, -1)],
+                axis=1),
+            "trans": best["transl"],
+            "obj_angles": matrix_to_axis_angle(best["obj_rot"]),
+            "obj_trans": best["obj_transl"],
+            "best_loss": best_loss,
+            "terms": trace,  # [iters, len(TERM_NAMES)]
+        }
 
-    return {
-        "pose": jnp.concatenate([
-            matrix_to_axis_angle(best["glo_rot"]).reshape(T, -1),
-            matrix_to_axis_angle(best["body_rot"]).reshape(T, -1),
-            matrix_to_axis_angle(best["hand_rot"]).reshape(T, -1)], axis=1),
-        "trans": best["transl"],
-        "obj_angles": matrix_to_axis_angle(best["obj_rot"]),
-        "obj_trans": best["obj_transl"],
-        "best_loss": best_loss,
-        "terms": trace,  # [iters, len(TERM_NAMES)]
-    }
+    return init_fn, step_fn, finalize_fn
+
+
+def optimize_clip(
+    smpl: SmplModel,
+    *,
+    body_pose: jax.Array,  # [T, 66] axis-angle (global + body)
+    hand_pose: jax.Array,  # [T, 90]
+    body_trans: jax.Array,  # [T, 3]
+    betas: jax.Array,  # [T, 10]
+    obj_angles: jax.Array,  # [T, 3]
+    obj_trans: jax.Array,  # [T, 3]
+    obj_points: jax.Array,  # [P, 3]
+    cfg: OptimConfig = OptimConfig(),
+) -> Dict[str, jax.Array]:
+    """Refine one clip; returns axis-angle pose/trans dict (the arrays the
+    reference writes back into the data dict, `optimization.py:168-173`).
+    The whole descent is ONE dispatch — jit-friendly (usable under
+    `lax.map` for batches)."""
+    init_fn, step_fn, finalize_fn = _refiner_pieces(smpl, cfg)
+    carry = init_fn(body_pose, hand_pose, body_trans, betas, obj_angles,
+                    obj_trans, obj_points)
+    carry = jax.lax.fori_loop(0, cfg.iters, step_fn, carry)
+    return finalize_fn(carry)
+
+
+def make_chunked_refiner(smpl: SmplModel, cfg: OptimConfig,
+                         dispatch_chunk: int = 100):
+    """`optimize_clip` with BOUNDED dispatch lengths: returns a callable
+    running a host loop over jitted `fori_loop` segments of at most
+    `dispatch_chunk` iterations.
+
+    RPC-tunneled TPU workers (axon) kill executions that run too long —
+    a single 350-iteration dispatch reproducibly crashed the worker while
+    200 completed, so long refinements must be split.  Segment boundaries
+    synchronise (`block_until_ready`) to keep one bounded execution in
+    flight at a time; the math is identical to `optimize_clip` (same
+    step_fn, the iteration index arrives via the fori_loop bounds).
+    Call OUTSIDE jit.  The jitted pieces live on the returned callable, so
+    repeated calls (a clip loop) compile at most three graphs per shape
+    (init, full segment, remainder segment)."""
+    init_fn, step_fn, finalize_fn = _refiner_pieces(smpl, cfg)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("length",))
+    def run_segment(carry, start, length):
+        return jax.lax.fori_loop(start, start + length, step_fn, carry)
+
+    init_j = jax.jit(init_fn)
+    finalize_j = jax.jit(finalize_fn)
+
+    def refine(*, body_pose, hand_pose, body_trans, betas, obj_angles,
+               obj_trans, obj_points) -> Dict[str, jax.Array]:
+        carry = init_j(body_pose, hand_pose, body_trans, betas,
+                       obj_angles, obj_trans, obj_points)
+        s = 0
+        while s < cfg.iters:
+            length = min(dispatch_chunk, cfg.iters - s)
+            carry = run_segment(carry, jnp.asarray(s, jnp.int32), length)
+            jax.block_until_ready(carry)
+            s += length
+        return finalize_j(carry)
+
+    return refine
+
+
+def optimize_clip_chunked(
+    smpl: SmplModel,
+    *,
+    cfg: OptimConfig = OptimConfig(),
+    dispatch_chunk: int = 100,
+    **clip_arrays,
+) -> Dict[str, jax.Array]:
+    """One-shot convenience over `make_chunked_refiner` (re-jits per call —
+    build the refiner once for clip loops)."""
+    return make_chunked_refiner(smpl, cfg, dispatch_chunk)(**clip_arrays)

@@ -6,7 +6,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from interdiff_tpu.eval.optimization import OptimConfig, optimize_clip
+from interdiff_tpu.eval.optimization import (
+    OptimConfig,
+    optimize_clip,
+    optimize_clip_chunked,
+)
 from interdiff_tpu.smpl.model import SmplModel
 
 
@@ -73,3 +77,44 @@ def test_optimize_clip_runs_and_improves(rng):
     for v in out_fix.values():
         assert np.isfinite(np.asarray(v)).all()
     assert float(jnp.abs(out_fix["obj_trans"] - obj_trans).max()) > 1e-5
+
+    # bounded-dispatch variant (axon watchdog kills long single dispatches):
+    # a host loop over short segments must reproduce the one-dispatch
+    # descent — same step_fn, index delivered via the fori_loop bounds, so
+    # the split exercises both the full-chunk and the remainder graph.
+    # Equivalence is asserted tightly over FEW iterations (the two lowerings
+    # — one fori_loop vs segmented while_loops — fuse differently, and f32
+    # rounding differences amplify chaotically through Adam steps)…
+    kwargs = dict(body_pose=body_pose, hand_pose=hand_pose, body_trans=trans,
+                  betas=betas, obj_angles=obj_angles, obj_trans=obj_trans,
+                  obj_points=obj_points)
+    cfg6 = OptimConfig(iters=6, keep_after=1, nn_chunk=None)
+    out6 = optimize_clip(smpl, cfg=cfg6, **kwargs)
+    out6_chunked = optimize_clip_chunked(smpl, cfg=cfg6, dispatch_chunk=4,
+                                         **kwargs)
+    # raw descent quantities agree to (fusion-dependent) f32 rounding,
+    # ~1e-4; "pose" additionally goes through matrix_to_axis_angle, which
+    # amplifies ~1e-7 matrix perturbations near its singularities on this
+    # random tiny body.  A segment-index off-by-one would shift the
+    # annealing ratio and move the traced terms by >=1e-2 relative, so
+    # rtol=1e-3 still discriminates structural bugs from rounding.
+    tols = {"pose": dict(rtol=0.0, atol=2e-3)}
+    for k in out6:
+        np.testing.assert_allclose(
+            np.asarray(out6_chunked[k]), np.asarray(out6[k]),
+            err_msg=k, **tols.get(k, dict(rtol=1e-3, atol=2e-4)))
+    # …and the trace must be aligned with the single-dispatch one row-for-row
+    # across the segment boundary (an off-by-one in the segment start would
+    # shift the annealing ratio and every row after iteration 4)
+    tr6, tr6c = np.asarray(out6["terms"]), np.asarray(out6_chunked["terms"])
+    assert tr6.shape == tr6c.shape == (6, tr6.shape[1])
+    np.testing.assert_allclose(tr6c, tr6, rtol=1e-3, atol=2e-4)
+    assert tr6c[0, 0] == 0.0  # iter-0 pen weight is exactly 0 (ratio 0/350)
+    assert (np.abs(tr6c[1:, 3]) > 0).all()  # every row actually written
+
+    # gross-divergence guard over the long run (chaos-scale tolerance)
+    cfg30 = OptimConfig(iters=30, keep_after=5, nn_chunk=None)
+    out_chunked = optimize_clip_chunked(smpl, cfg=cfg30, dispatch_chunk=12,
+                                        **kwargs)
+    np.testing.assert_allclose(np.asarray(out_chunked["pose"]),
+                               np.asarray(out["pose"]), atol=5e-2)
