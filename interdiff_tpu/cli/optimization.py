@@ -59,12 +59,13 @@ def main():
                              "(the body gradient is the workhorse — see "
                              "OptimConfig.pen_fix_body)")
     parser.add_argument("--dispatch_chunk", type=int, default=0,
-                        help="dataset mode: split the per-clip descent into "
-                             "bounded dispatches of N iterations (0 = one "
+                        help="split the refinement descent into bounded "
+                             "dispatches of N iterations (0 = one "
                              "dispatch). RPC-tunneled TPU workers kill "
-                             "long executions — a single 350-iter dispatch "
-                             "reproducibly crashed the axon worker while "
-                             "200 completed; chunking unblocks --iters>200")
+                             "long executions — one 8-clip x 350-iter "
+                             "refine dispatch reproducibly crashed the "
+                             "axon worker while 8 x 200 completed; "
+                             "chunking unblocks longer refinements")
     parser.add_argument("--limit", type=int, default=0)
     parser.add_argument("--out_dir", default="./results/optimization")
     parser.add_argument("--config", default=None,
@@ -298,16 +299,24 @@ def _run_from_samples(args):
     ocfg = OptimConfig(iters=args.iters,
                        keep_after=min(150, args.iters - 2),
                        ratio_denom=args.ratio_denom,
-                      pen_fix_body=args.pen_fix_body)
-    # lax.map (not vmap): the refiner body stays unbatched — one compile,
-    # sequential clips, and no batching rewrite of the HIGHEST-precision
-    # rotation matmuls (whose vmap form trips an XLA:CPU verifier bug)
-    refine = jax.jit(lambda bp, hp, tr, be, oa, ot, op: jax.lax.map(
-        lambda a: optimize_clip(
-            smpl, body_pose=a[0], hand_pose=a[1], body_trans=a[2],
-            betas=a[3], obj_angles=a[4], obj_trans=a[5], obj_points=a[6],
-            cfg=ocfg),
-        (bp, hp, tr, be, oa, ot, op)))
+                       pen_fix_body=args.pen_fix_body)
+    if args.dispatch_chunk > 0:
+        # bounded dispatches: B clips x iters in ONE execution is what
+        # crashes the axon worker at 8 x 350 — see make_chunked_refiner_batch
+        from interdiff_tpu.eval.optimization import make_chunked_refiner_batch
+
+        refine = make_chunked_refiner_batch(smpl, ocfg, args.dispatch_chunk)
+    else:
+        # lax.map (not vmap): the refiner body stays unbatched — one
+        # compile, sequential clips, and no batching rewrite of the
+        # HIGHEST-precision rotation matmuls (whose vmap form trips an
+        # XLA:CPU verifier bug)
+        refine = jax.jit(lambda bp, hp, tr, be, oa, ot, op: jax.lax.map(
+            lambda a: optimize_clip(
+                smpl, body_pose=a[0], hand_pose=a[1], body_trans=a[2],
+                betas=a[3], obj_angles=a[4], obj_trans=a[5], obj_points=a[6],
+                cfg=ocfg),
+            (bp, hp, tr, be, oa, ot, op)))
 
     os.makedirs(args.out_dir, exist_ok=True)
     key = jax.random.PRNGKey(args.seed)

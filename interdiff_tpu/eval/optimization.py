@@ -271,8 +271,9 @@ def make_chunked_refiner(smpl: SmplModel, cfg: OptimConfig,
     `dispatch_chunk` iterations.
 
     RPC-tunneled TPU workers (axon) kill executions that run too long —
-    a single 350-iteration dispatch reproducibly crashed the worker while
-    200 completed, so long refinements must be split.  Segment boundaries
+    one dispatch of 8 lax.map'd clips x 350 iterations (2800 sequential
+    refiner steps) reproducibly crashed the worker while 8 x 200 = 1600
+    completed, so long refinements must be split.  Segment boundaries
     synchronise (`block_until_ready`) to keep one bounded execution in
     flight at a time; the math is identical to `optimize_clip` (same
     step_fn, the iteration index arrives via the fori_loop bounds).
@@ -315,3 +316,44 @@ def optimize_clip_chunked(
     """One-shot convenience over `make_chunked_refiner` (re-jits per call —
     build the refiner once for clip loops)."""
     return make_chunked_refiner(smpl, cfg, dispatch_chunk)(**clip_arrays)
+
+
+def make_chunked_refiner_batch(smpl: SmplModel, cfg: OptimConfig,
+                               dispatch_chunk: int = 100):
+    """Batched `make_chunked_refiner`: every array gains a leading clip
+    axis, clips run sequentially inside each dispatch via `lax.map` (NOT
+    vmap — one compile, and no batching rewrite of the HIGHEST-precision
+    rotation matmuls, whose vmap form trips an XLA:CPU verifier bug), and
+    the iteration axis is split into bounded dispatches.
+
+    This is the variant the sample→refine pipeline needs: its refine is
+    one dispatch of B lax.map'd clips x iters, so the execution length
+    scales with BOTH factors (8 x 350 crashed the axon worker; see
+    `make_chunked_refiner`)."""
+    init_fn, step_fn, finalize_fn = _refiner_pieces(smpl, cfg)
+
+    from functools import partial
+
+    init_j = jax.jit(lambda arrs: jax.lax.map(lambda a: init_fn(*a), arrs))
+
+    @partial(jax.jit, static_argnames=("length",))
+    def run_segment(carry, start, length):
+        return jax.lax.map(
+            lambda c: jax.lax.fori_loop(start, start + length, step_fn, c),
+            carry)
+
+    finalize_j = jax.jit(lambda carry: jax.lax.map(finalize_fn, carry))
+
+    def refine(body_pose, hand_pose, body_trans, betas, obj_angles,
+               obj_trans, obj_points) -> Dict[str, jax.Array]:
+        carry = init_j((body_pose, hand_pose, body_trans, betas,
+                        obj_angles, obj_trans, obj_points))
+        s = 0
+        while s < cfg.iters:
+            length = min(dispatch_chunk, cfg.iters - s)
+            carry = run_segment(carry, jnp.asarray(s, jnp.int32), length)
+            jax.block_until_ready(carry)
+            s += length
+        return finalize_j(carry)
+
+    return refine

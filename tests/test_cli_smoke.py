@@ -62,6 +62,19 @@ def test_optimization_cli_from_samples(monkeypatch, tmp_path, capsys):
     assert np.isfinite(summary["penetrate_after"])
     refined = np.load(tmp_path / "refined_1.npz")
     assert refined["pose"].shape == (2, 7, 156)
+
+    # batched bounded-dispatch path (--dispatch_chunk): same pipeline, the
+    # refine runs as a host loop over lax.map'd fori_loop segments
+    _run(main, ["--synthetic", "1", "--diffusion_ckpt", "",
+                "--respacing", "5", "--iters", "4", "--batch_size", "2",
+                "--past_len", "3", "--future_len", "4",
+                "--dispatch_chunk", "3",  # full segment + remainder
+                "--out_dir", str(tmp_path / "chunked")], monkeypatch)
+    out = capsys.readouterr().out
+    assert "penetrate_after" in out
+    refined_c = np.load(tmp_path / "chunked" / "refined_1.npz")
+    assert refined_c["pose"].shape == (2, 7, 156)
+    assert np.isfinite(refined_c["pose"]).all()
     assert np.isfinite(refined["pose"]).all()
     # the best-iterate tracker must have fired (keep_after < iters-1);
     # best_loss=inf would mean the refiner silently returned initial params
