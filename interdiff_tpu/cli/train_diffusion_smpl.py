@@ -32,6 +32,13 @@ def main():
     parser.add_argument("--embedding_dim", type=int, default=256)
     parser.add_argument("--ff_size", type=int, default=1024)
     parser.add_argument("--num_layers", type=int, default=8)
+    parser.add_argument("--schedule_sampler", default="uniform",
+                        choices=["uniform", "loss-second-moment"],
+                        help="timestep sampler; the reference hardcodes "
+                             "uniform (`train_diffusion_smpl.py:43-44`) but "
+                             "ships the loss-second-moment importance "
+                             "sampler unwired — here it threads functional "
+                             "state through TrainState")
     parser.add_argument("--seed", type=int, default=233)
     parser.add_argument("--resume_checkpoint", default=None,
                         help="orbax ckpt dir to resume params from")
@@ -102,9 +109,18 @@ def main():
                              args=ocp.args.StandardRestore(params))
         print(f"resumed params from {args.resume_checkpoint} "
               f"@ step {mgr.latest_step()}")
-    state = TrainState.create(params, adamw(args.lr))
+    sampler_state = None
+    if args.schedule_sampler == "loss-second-moment":
+        from interdiff_tpu.diffusion.resample import LossSecondMomentResampler
+
+        sampler_state = LossSecondMomentResampler(
+            diffusion.num_timesteps).init_state()
+    state = TrainState.create(params, adamw(args.lr),
+                              sampler_state=sampler_state)
     mesh = make_mesh()
-    step = data_parallel_step(make_smpl_train_step(model, diffusion), mesh)
+    step = data_parallel_step(
+        make_smpl_train_step(model, diffusion,
+                             schedule_sampler=args.schedule_sampler), mesh)
 
     from interdiff_tpu.cli.common import snapshot_sources
 

@@ -30,17 +30,21 @@ from interdiff_tpu.train.losses import (
 
 @struct.dataclass
 class TrainState:
-    """Minimal train state (params + optax)."""
+    """Minimal train state (params + optax [+ schedule-sampler state])."""
 
     step: jax.Array
     params: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # LossSecondMomentState when the loss-aware schedule sampler is active
+    # (`diffusion/resample.py`), None under the uniform default
+    sampler_state: Any = None
 
     @classmethod
-    def create(cls, params, tx):
+    def create(cls, params, tx, *, sampler_state=None):
         return cls(step=jnp.zeros((), jnp.int32), params=params,
-                   opt_state=tx.init(params), tx=tx)
+                   opt_state=tx.init(params), tx=tx,
+                   sampler_state=sampler_state)
 
     def apply_gradients(self, grads):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
@@ -128,15 +132,40 @@ def smpl_cond_inputs(batch: Dict[str, jax.Array]) -> Tuple[jax.Array, jax.Array]
 def make_smpl_train_step(
     model: MDMSmpl, diffusion: GaussianDiffusion, *,
     weights: SmplLossWeights = SmplLossWeights(),
+    schedule_sampler: str = "uniform",
 ) -> Callable:
-    """Returns ``step(state, batch, key) -> (state, metrics)``."""
+    """Returns ``step(state, batch, key) -> (state, metrics)``.
 
-    def loss_fn(params, batch, key):
+    ``schedule_sampler``: ``"uniform"`` (the reference trainers hardcode
+    this, `train_diffusion_smpl.py:43-44`), ``"loss-second-moment"``, or a
+    ``LossSecondMomentResampler`` instance (to control history size) — the
+    importance sampler the reference ships but never wires up
+    (`diffusion/resample.py:57-104`, update branch at
+    `train_diffusion_skeleton.py:163-164`).  The loss-aware variant needs
+    ``TrainState.sampler_state`` initialised with the SAME resampler's
+    ``init_state()`` (the history buffer width bakes into the state); its
+    history update happens inside the jitted step, so under
+    ``data_parallel_step`` the (replicated) state update sees the full
+    global batch."""
+    from interdiff_tpu.diffusion.resample import LossSecondMomentResampler
+
+    resampler = None
+    if isinstance(schedule_sampler, LossSecondMomentResampler):
+        resampler = schedule_sampler
+    elif schedule_sampler == "loss-second-moment":
+        resampler = LossSecondMomentResampler(diffusion.num_timesteps)
+    elif schedule_sampler != "uniform":
+        raise ValueError(f"unknown schedule sampler: {schedule_sampler}")
+
+    def loss_fn(params, batch, key, sampler_state):
         k_t, k_noise = jax.random.split(key)
         gt, obj_points = smpl_cond_inputs(batch)
         memory = model.apply(params, gt, obj_points, method=MDMSmpl.encode)
-        t, sampler_w = sample_timesteps(k_t, gt.shape[0],
-                                        diffusion.num_timesteps)
+        if resampler is None:
+            t, sampler_w = sample_timesteps(k_t, gt.shape[0],
+                                            diffusion.num_timesteps)
+        else:
+            t, sampler_w = resampler.sample(k_t, gt.shape[0], sampler_state)
         noise = jax.random.normal(k_noise, gt.shape, gt.dtype)
 
         def model_fn(x, ts):
@@ -155,12 +184,19 @@ def make_smpl_train_step(
             mask = (quartile == q).astype(jnp.float32)
             metrics[f"loss_q{q}"] = (jnp.sum(per_sample * mask)
                                      / jnp.maximum(jnp.sum(mask), 1.0))
-        return loss, metrics
+        return loss, (metrics, t, per_sample)
 
     def step(state: TrainState, batch, key):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key)
-        return state.apply_gradients(grads), metrics
+        (_, (metrics, t, per_sample)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, key,
+                                   state.sampler_state)
+        new_state = state.apply_gradients(grads)
+        if resampler is not None:
+            # the reference's update_with_local_losses
+            # (`train_diffusion_skeleton.py:163-164`)
+            new_state = new_state.replace(sampler_state=resampler.update(
+                state.sampler_state, t, jax.lax.stop_gradient(per_sample)))
+        return new_state, metrics
 
     return step
 

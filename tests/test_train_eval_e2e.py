@@ -113,6 +113,47 @@ def test_smpl_train_step_runs_on_mesh(rng):
     assert "loss_q0" in metrics  # quartile diagnostics
 
 
+def test_smpl_train_step_loss_aware_sampler(rng):
+    """The loss-second-moment importance sampler the reference ships but
+    never wires (`diffusion/resample.py:57-104`): functional state threads
+    through TrainState inside the sharded step, history fills, and after
+    warm-up the timestep weights leave uniform."""
+    from interdiff_tpu.diffusion.resample import LossSecondMomentResampler
+
+    model = MDMSmpl(embed_dim=32, num_heads=4, ff_size=32, num_layers=4,
+                    past_len=3, future_len=4, use_pointnet2=False)
+    diffusion = _tiny_diffusion()
+    T = 7
+    batch_np = next(synthetic_smpl_batches(
+        np.random.default_rng(0), batch_size=8, seq_len=T, num_points=16))
+    keep = ("body_pose", "body_trans", "obj_angles", "obj_trans",
+            "obj_points")
+    batch = {k: jnp.asarray(batch_np[k]) for k in keep}
+
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, T, 144)),
+                        jnp.zeros((2, 16, 6)), jnp.zeros((2,), jnp.int32),
+                        method=MDMSmpl.init_forward)
+    resampler = LossSecondMomentResampler(diffusion.num_timesteps,
+                                          history_per_term=3)
+    state = TrainState.create(params, adamw(1e-3),
+                              sampler_state=resampler.init_state())
+    mesh = make_mesh()
+    step = data_parallel_step(make_smpl_train_step(
+        model, diffusion, schedule_sampler=resampler), mesh)
+    batch = step.place_batch(batch)
+
+    counts0 = int(state.sampler_state.loss_counts.sum())
+    for i in range(8):  # 8 steps x batch 8 = 64 draws over 8 timesteps
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(metrics["loss"]))
+    counts = np.asarray(state.sampler_state.loss_counts)
+    assert counts.sum() > counts0 and counts.max() == 3  # history filled
+    w = np.asarray(resampler.weights(state.sampler_state))
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-5)
+    if (counts == 3).all():  # fully warmed -> importance weights, not uniform
+        assert np.abs(w - 1.0 / diffusion.num_timesteps).max() > 1e-6
+
+
 def test_correction_skeleton_train_step(rng):
     from interdiff_tpu.models.correction import ObjProjectorSkeleton
 
