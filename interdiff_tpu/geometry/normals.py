@@ -80,15 +80,29 @@ def vertex_normals(vertices: jax.Array, faces) -> jax.Array:
         faces_np = np.asarray(faces)
 
     if faces_np is not None:
+        # Coordinate-planar row gathers: every `take` reads a dense
+        # [3*B]-lane row per index instead of a 3-float sliver, the only
+        # layout that moved the needle on v5e (corner gathers + cross at
+        # B*T=800, V=6890, F=13776: 10.6 ms in [B,F,3] layout vs the whole
+        # op at 11.3 ms here; K-loop/fused/segment-sum variants all ~14-17
+        # ms, bit-identical outputs).  TPU dynamic gathers dominate this op
+        # either way — the flops are negligible.
         incident = _face_incidence(faces_np, v.shape[-2])  # [V, K]
-        tri = v[:, faces_np]  # [B, F, 3, 3]
-        fn = jnp.cross(tri[:, :, 1] - tri[:, :, 0],
-                       tri[:, :, 2] - tri[:, :, 0])  # [B, F, 3]
-        fn = jnp.concatenate(
-            [fn, jnp.zeros(fn.shape[:1] + (1, 3), fn.dtype)], axis=1)
-        n = fn[:, incident[:, 0]]
-        for k in range(1, incident.shape[1]):
-            n = n + fn[:, incident[:, k]]
+        B, V = v.shape[0], v.shape[-2]
+        F, K = faces_np.shape[0], incident.shape[1]
+        vr = v.transpose(1, 2, 0).reshape(V, 3 * B)  # coord-major rows
+        c0 = jnp.take(vr, jnp.asarray(faces_np[:, 0]), axis=0)
+        c1 = jnp.take(vr, jnp.asarray(faces_np[:, 1]), axis=0)
+        c2 = jnp.take(vr, jnp.asarray(faces_np[:, 2]), axis=0)
+        a = (c1 - c0).reshape(F, 3, B)
+        b = (c2 - c0).reshape(F, 3, B)
+        fn = jnp.stack([a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
+                        a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2],
+                        a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]],
+                       axis=1).reshape(F, 3 * B)
+        fn = jnp.concatenate([fn, jnp.zeros((1, 3 * B), fn.dtype)], axis=0)
+        g = jnp.take(fn, jnp.asarray(incident.reshape(-1)), axis=0)
+        n = g.reshape(V, K, 3, B).sum(1).transpose(2, 0, 1)  # [B, V, 3]
         norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
         out = n / jnp.maximum(norm, 1e-6)
         return out.reshape(batch_shape + vertices.shape[-2:])
