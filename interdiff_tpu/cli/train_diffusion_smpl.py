@@ -109,18 +109,21 @@ def main():
                              args=ocp.args.StandardRestore(params))
         print(f"resumed params from {args.resume_checkpoint} "
               f"@ step {mgr.latest_step()}")
+    schedule_sampler = args.schedule_sampler
     sampler_state = None
-    if args.schedule_sampler == "loss-second-moment":
+    if schedule_sampler == "loss-second-moment":
         from interdiff_tpu.diffusion.resample import LossSecondMomentResampler
 
-        sampler_state = LossSecondMomentResampler(
-            diffusion.num_timesteps).init_state()
+        # ONE instance feeds both init_state() and the step factory so the
+        # history width in the state always matches the update logic
+        schedule_sampler = LossSecondMomentResampler(diffusion.num_timesteps)
+        sampler_state = schedule_sampler.init_state()
     state = TrainState.create(params, adamw(args.lr),
                               sampler_state=sampler_state)
     mesh = make_mesh()
     step = data_parallel_step(
         make_smpl_train_step(model, diffusion,
-                             schedule_sampler=args.schedule_sampler), mesh)
+                             schedule_sampler=schedule_sampler), mesh)
 
     from interdiff_tpu.cli.common import snapshot_sources
 

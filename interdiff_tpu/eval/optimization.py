@@ -152,7 +152,11 @@ def _refiner_pieces(smpl: SmplModel, cfg: OptimConfig):
         w = jnp.where(inside, pen_w, 0.0)
         loss_dist_o = jnp.mean(jnp.sum(jnp.abs(o2h_signed) * w, axis=1))
         # unweighted penetration diagnostics (not part of the objective):
-        # mean depth over inside points and the fraction-inside eval metric
+        # mean depth over inside points and fraction-inside, both over the
+        # WHOLE window — the refiner has no past/future split, unlike the
+        # eval `penetrate` metric and the CLI summaries, which slice future
+        # frames only (cli/optimization.py::_make_penetration_fn); compare
+        # trends, not absolute values, across the two
         n_in = jnp.maximum(inside.sum(), 1)
         pen_depth = jnp.sum(jnp.where(inside, -o2h_signed, 0.0)) / n_in
         pen_frac = inside.mean()
@@ -280,11 +284,16 @@ def make_chunked_refiner(smpl: SmplModel, cfg: OptimConfig,
     Call OUTSIDE jit.  The jitted pieces live on the returned callable, so
     repeated calls (a clip loop) compile at most three graphs per shape
     (init, full segment, remainder segment)."""
+    if dispatch_chunk < 1:
+        raise ValueError(f"dispatch_chunk must be >= 1, got {dispatch_chunk}")
     init_fn, step_fn, finalize_fn = _refiner_pieces(smpl, cfg)
 
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("length",))
+    # donate the carry: it is dead after each segment (the host loop
+    # rebinds immediately), letting XLA update the params/opt_state/trace
+    # buffers in place instead of reallocating every bounded dispatch
+    @partial(jax.jit, static_argnames=("length",), donate_argnums=(0,))
     def run_segment(carry, start, length):
         return jax.lax.fori_loop(start, start + length, step_fn, carry)
 
@@ -330,13 +339,15 @@ def make_chunked_refiner_batch(smpl: SmplModel, cfg: OptimConfig,
     one dispatch of B lax.map'd clips x iters, so the execution length
     scales with BOTH factors (8 x 350 crashed the axon worker; see
     `make_chunked_refiner`)."""
+    if dispatch_chunk < 1:
+        raise ValueError(f"dispatch_chunk must be >= 1, got {dispatch_chunk}")
     init_fn, step_fn, finalize_fn = _refiner_pieces(smpl, cfg)
 
     from functools import partial
 
     init_j = jax.jit(lambda arrs: jax.lax.map(lambda a: init_fn(*a), arrs))
 
-    @partial(jax.jit, static_argnames=("length",))
+    @partial(jax.jit, static_argnames=("length",), donate_argnums=(0,))
     def run_segment(carry, start, length):
         return jax.lax.map(
             lambda c: jax.lax.fori_loop(start, start + length, step_fn, c),

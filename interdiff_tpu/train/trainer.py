@@ -187,6 +187,14 @@ def make_smpl_train_step(
         return loss, (metrics, t, per_sample)
 
     def step(state: TrainState, batch, key):
+        if resampler is not None and state.sampler_state is None:
+            # caught at trace time with a clear message instead of an
+            # AttributeError deep inside the traced loss_fn
+            raise ValueError(
+                "schedule_sampler is loss-aware but TrainState.sampler_state "
+                "is None — create the state with TrainState.create(params, "
+                "tx, sampler_state=resampler.init_state()) using the SAME "
+                "resampler (the history width bakes into the state)")
         (_, (metrics, t, per_sample)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, key,
                                    state.sampler_state)
