@@ -116,6 +116,223 @@ def _to_f32(tree):
     return jax.tree.map(lambda a: np.asarray(a, dtype=np.float32), tree)
 
 
+# ---------------------------------------------------------------------------
+# MDM (diffusion denoiser) checkpoints
+# ---------------------------------------------------------------------------
+#
+# The reference trains `MDM` inside `LitInteraction` (`self.model`,
+# `train_diffusion_smpl.py:40`), so Lightning state-dict keys carry the
+# `model.` prefix exactly like the correction ckpts.  The snapshot ships no
+# diffusion ckpts (`.MISSING_LARGE_BLOBS`), but users following
+# `interdiff/README.md` can supply them — these converters map either track
+# onto :class:`interdiff_tpu.models.mdm_smpl.MDMSmpl` /
+# :class:`interdiff_tpu.models.mdm_skeleton.MDMSkeleton` parameter trees.
+#
+# Reference parameters that are constructed but never used by the forward
+# pass (`finalLinear`, `bodyFutureEmbedding`, `objFutureEmbedding`,
+# `model/diffusion_smpl.py:177-183`) are deliberately dropped.
+
+_MDM_UNUSED = ("finalLinear.", "bodyFutureEmbedding", "objFutureEmbedding")
+
+
+def _linear_p(sd: Dict[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    """torch nn.Linear -> flax Dense (kernel transposed)."""
+    return {"kernel": np.ascontiguousarray(sd[f"{key}.weight"].T),
+            "bias": sd[f"{key}.bias"]}
+
+
+def _ln_p(sd: Dict[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+def _mha_p(sd: Dict[str, np.ndarray], key: str) -> Dict[str, Any]:
+    """torch nn.MultiheadAttention -> TorchMHA (packed in_proj kept)."""
+    return {"in_proj_kernel": np.ascontiguousarray(
+                sd[f"{key}.in_proj_weight"].T),
+            "in_proj_bias": sd[f"{key}.in_proj_bias"],
+            "out_proj": _linear_p(sd, f"{key}.out_proj")}
+
+
+def _mdm_stack_params(sd: Dict[str, np.ndarray], prefix: str,
+                      num_layers: int, cross: bool) -> Dict[str, Any]:
+    """One reference TransformerEncoder/Decoder stack (`model/layers.py:
+    177-269`; MDM topology: layers 1 & N vanilla, 2..N-1 QaN,
+    `model/diffusion_smpl.py:20-127`) -> our TransformerStack params."""
+    out: Dict[str, Any] = {}
+    for i in range(num_layers):
+        lp = f"{prefix}.layers.{i}"
+        p: Dict[str, Any] = {
+            "norm1": _ln_p(sd, f"{lp}.norm1"),
+            "norm2": _ln_p(sd, f"{lp}.norm2"),
+            "ff": {"linear1": _linear_p(sd, f"{lp}.linear1"),
+                   "linear2": _linear_p(sd, f"{lp}.linear2")},
+        }
+        if i in (0, num_layers - 1):  # vanilla torch layer
+            p["self_attn"] = _mha_p(sd, f"{lp}.self_attn")
+        else:  # QaN layer (`sublayers.py:37-375`)
+            p["queries"] = sd[f"{lp}.queries"]
+            p["wk"] = sd[f"{lp}.wk"]
+        if cross:  # decoder layers add cross-attention + norm3
+            p["norm3"] = _ln_p(sd, f"{lp}.norm3")
+            p["multihead_attn"] = _mha_p(sd, f"{lp}.multihead_attn")
+        out[f"layer_{i}"] = p
+    return out
+
+
+def _pointnet_params(sd: Dict[str, np.ndarray],
+                     prefix: str) -> Tuple[Dict, Dict]:
+    """pointnet2_ops `PointnetSAModuleMSG` weights -> our PointNet2Encoder.
+
+    The CUDA package's `build_shared_mlp` emits Sequential indices
+    (conv, bn, relu) per stage, i.e. torch keys
+    `SA_modules.{i}.mlps.{s}.{3k}.weight` (Conv2d 1x1, bias-free) and
+    `.{3k+1}.*` (BatchNorm2d) -> our `sa{i}/mlp{s}/conv{k}` + `bn{k}`.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in (0, 1):
+        sa_p: Dict[str, Any] = {}
+        sa_s: Dict[str, Any] = {}
+        for s in (0, 1):
+            mp: Dict[str, Any] = {}
+            ms: Dict[str, Any] = {}
+            k = 0
+            while f"{prefix}.SA_modules.{i}.mlps.{s}.{3 * k}.weight" in sd:
+                seq = f"{prefix}.SA_modules.{i}.mlps.{s}"
+                mp[f"conv{k}"] = {
+                    "kernel": _conv1x1_kernel(sd[f"{seq}.{3 * k}.weight"])}
+                mp[f"bn{k}"] = {"scale": sd[f"{seq}.{3 * k + 1}.weight"],
+                                "bias": sd[f"{seq}.{3 * k + 1}.bias"]}
+                ms[f"bn{k}"] = {
+                    "mean": sd[f"{seq}.{3 * k + 1}.running_mean"],
+                    "var": sd[f"{seq}.{3 * k + 1}.running_var"]}
+                k += 1
+            if not mp:
+                raise KeyError(
+                    f"no shared-MLP weights under {prefix}.SA_modules.{i}."
+                    f"mlps.{s} — unrecognised pointnet2 checkpoint layout")
+            sa_p[f"mlp{s}"] = mp
+            sa_s[f"mlp{s}"] = ms
+        params[f"sa{i}"] = sa_p
+        stats[f"sa{i}"] = sa_s
+    params["Linear"] = _linear_p(sd, f"{prefix}.Linear")
+    return params, stats
+
+
+def convert_mdm_smpl(sd: Dict[str, np.ndarray], *,
+                     torch_prefix: str = "model.",
+                     num_layers: int = 8,
+                     latent_usage: str = "memory") -> Dict[str, Any]:
+    """Reference SMPL-track `MDM` state_dict (`model/diffusion_smpl.py:
+    8-246`) -> flax variables for :class:`MDMSmpl`.
+
+    Detects the object-cloud embedding flavour from the keys: a 2-D
+    `pcEmbedding.weight` is the `use_pointnet2=0` Linear path
+    (`diffusion_smpl.py:14`), otherwise the PointNet++ set-abstraction
+    weights are mapped (with BatchNorm running stats into `batch_stats`).
+    """
+    P = torch_prefix
+    params: Dict[str, Any] = {
+        "bodyEmbedding": _linear_p(sd, f"{P}bodyEmbedding"),
+        "objEmbedding": _linear_p(sd, f"{P}objEmbedding"),
+        "embedTimeStep": {
+            "fc1": _linear_p(sd, f"{P}embedTimeStep.time_embed.0"),
+            "fc2": _linear_p(sd, f"{P}embedTimeStep.time_embed.2")},
+        "encoder": _mdm_stack_params(sd, f"{P}encoder", num_layers,
+                                     cross=False),
+        "decoder": _mdm_stack_params(sd, f"{P}decoder", num_layers,
+                                     cross=latent_usage == "memory"),
+        "bodyFinalLinear": _linear_p(sd, f"{P}bodyFinalLinear"),
+        "objFinalLinear": _linear_p(sd, f"{P}objFinalLinear"),
+    }
+    tree: Dict[str, Any] = {"params": params}
+    if f"{P}pcEmbedding.weight" in sd and sd[f"{P}pcEmbedding.weight"].ndim == 2:
+        params["pcEmbedding"] = _linear_p(sd, f"{P}pcEmbedding")
+    else:
+        pc_p, pc_s = _pointnet_params(sd, f"{P}pcEmbedding")
+        params["pcEmbedding"] = pc_p
+        tree["batch_stats"] = {"pcEmbedding": pc_s}
+    return _to_f32(tree)
+
+
+def convert_mdm_skeleton(sd: Dict[str, np.ndarray], *,
+                         torch_prefix: str = "model.",
+                         num_layers: int = 8,
+                         latent_usage: str = "memory") -> Dict[str, Any]:
+    """Reference skeleton-track `MDM` state_dict
+    (`model/diffusion_skeleton.py:7-257`) -> flax variables for
+    :class:`MDMSkeleton` (body Linear 63->E, shape/obj Linear 36->E,
+    7-D pose head)."""
+    P = torch_prefix
+    params: Dict[str, Any] = {
+        "bodyEmbedding": _linear_p(sd, f"{P}bodyEmbedding"),
+        "shapeEmbedding": _linear_p(sd, f"{P}shapeEmbedding"),
+        "objEmbedding": _linear_p(sd, f"{P}objEmbedding"),
+        "embedTimeStep": {
+            "fc1": _linear_p(sd, f"{P}embedTimeStep.time_embed.0"),
+            "fc2": _linear_p(sd, f"{P}embedTimeStep.time_embed.2")},
+        "encoder": _mdm_stack_params(sd, f"{P}encoder", num_layers,
+                                     cross=False),
+        "decoder": _mdm_stack_params(sd, f"{P}decoder", num_layers,
+                                     cross=latent_usage == "memory"),
+        "bodyFinalLinear": _linear_p(sd, f"{P}bodyFinalLinear"),
+        "objFinalLinear": _linear_p(sd, f"{P}objFinalLinear"),
+    }
+    return _to_f32({"params": params})
+
+
+def load_mdm_smpl(path: str):
+    """Lightning MDM ckpt (SMPL track) -> (flax variables, hparams).
+
+    The returned hparams drive module construction; use
+    :func:`mdm_smpl_from_checkpoint` to also get a correctly-configured
+    :class:`MDMSmpl` (notably ``fps_groups=1`` — exact CUDA
+    `furthest_point_sample` selection order — whenever the checkpoint was
+    trained with the reference's pointnet2 encoder, so the keypoint
+    selection matches training)."""
+    sd, hp = load_lightning_state_dict(path)
+    return convert_mdm_smpl(
+        sd,
+        num_layers=int(hp.get("num_layers", 8)),
+        latent_usage=hp.get("latent_usage", "memory")), hp
+
+
+def mdm_smpl_from_checkpoint(path: str):
+    """-> (MDMSmpl module, flax variables, hparams) in parity mode.
+
+    Parity mode forces exact FPS (``fps_groups=1``) for pointnet2-trained
+    checkpoints: `hierarchical_fps` is a throughput-optimised selection-order
+    deviation (`models/pointnet.py`) that is only safe for weights trained
+    under it."""
+    from interdiff_tpu.models.mdm_smpl import MDMSmpl
+
+    variables, hp = load_mdm_smpl(path)
+    use_pn2 = "batch_stats" in variables
+    model = MDMSmpl(
+        smpl_dim=int(hp.get("smpl_dim", 132)),
+        embed_dim=int(hp.get("embedding_dim", 256)),
+        num_heads=int(hp.get("num_heads", 4)),
+        ff_size=int(hp.get("ff_size", 1024)),
+        num_layers=int(hp.get("num_layers", 8)),
+        dropout=0.0,
+        activation=hp.get("activation", "gelu"),
+        past_len=int(hp.get("past_len", 10)),
+        future_len=int(hp.get("future_len", 25)),
+        latent_usage=hp.get("latent_usage", "memory"),
+        use_pointnet2=use_pn2,
+        fps_groups=1)
+    return model, variables, hp
+
+
+def load_mdm_skeleton(path: str):
+    """Lightning MDM ckpt (skeleton track) -> (flax variables, hparams)."""
+    sd, hp = load_lightning_state_dict(path)
+    return convert_mdm_skeleton(
+        sd,
+        num_layers=int(hp.get("num_layers", 8)),
+        latent_usage=hp.get("latent_usage", "memory")), hp
+
+
 def load_correction_smpl(path: str = "/root/reference/interdiff/checkpoints/"
                                       "correction.ckpt"):
     """-> (flax variables, hparams) for :class:`ObjProjectorSmpl`."""
