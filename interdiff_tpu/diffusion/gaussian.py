@@ -296,6 +296,17 @@ class GaussianDiffusion:
         }
 
     # -- classifier guidance ------------------------------------------------
+    #
+    # Design note — the reference's ``*_with_grad`` family
+    # (`gaussian_diffusion.py:433-494,550-596,790-845`:
+    # `condition_mean_with_grad`, `condition_score_with_grad`,
+    # `p_sample_with_grad`, `ddim_sample_with_grad`) exists only because
+    # torch requires a separate code path to re-enable autograd through a
+    # sampling step (`th.enable_grad()` + passing `p_mean_var['out']` so the
+    # graph isn't detached).  In JAX differentiation is a program transform:
+    # `jax.grad` through `p_sample`/`ddim_sample`/`condition_*` below already
+    # yields exactly what the `_with_grad` variants compute, so the family
+    # deliberately collapses into the plain methods here (no separate API).
     def condition_mean(self, cond_fn, p_mean_var, x, t):
         """Sohl-Dickstein-style mean shift (`gaussian_diffusion.py:418-431`)."""
         gradient = cond_fn(x, self.model_timesteps(t))
@@ -560,3 +571,61 @@ class GaussianDiffusion:
         decoder_nll = mean_flat(decoder_nll) / jnp.log(2.0)
         output = jnp.where(t == 0, decoder_nll, kl)
         return {"output": output, "pred_xstart": out["pred_xstart"]}
+
+    def prior_bpd(self, x_start):
+        """Prior KL term of the VLB in bits-per-dim, [B]
+        (`gaussian_diffusion.py:1535-1551` ``_prior_bpd``)."""
+        B = x_start.shape[0]
+        t = jnp.full((B,), self.num_timesteps - 1, dtype=jnp.int32)
+        qt_mean, _, qt_log_variance = self.q_mean_variance(x_start, t)
+        kl_prior = normal_kl(qt_mean, qt_log_variance, 0.0, 0.0)
+        return mean_flat(kl_prior) / jnp.log(2.0)
+
+    def calc_bpd_loop(self, model_fn, x_start, key=None, *,
+                      clip_denoised=False, step_noise=None):
+        """Full variational lower-bound sweep as one ``lax.scan``
+        (`gaussian_diffusion.py:1553-1609` ``calc_bpd_loop``).
+
+        One model call per timestep on a fresh ``q_sample`` draw; returns
+        ``{total_bpd [B], prior_bpd [B], vb [B,T], xstart_mse [B,T],
+        mse [B,T]}`` with column ``j`` of the per-step tensors holding
+        timestep ``T-1-j`` (the reference appends from t=T-1 downwards).
+        ``step_noise`` ([T, *x_start.shape], ordered t=T-1..0) overrides the
+        per-step draws for deterministic replay / differential testing.
+        """
+        B = x_start.shape[0]
+        indices = jnp.arange(self.num_timesteps)[::-1]
+
+        def body(x_t, t, noise):
+            out = self.vb_terms_bpd(model_fn, x_start, x_t, t,
+                                    clip_denoised=clip_denoised)
+            xstart_mse = mean_flat((out["pred_xstart"] - x_start) ** 2)
+            eps = self.predict_eps_from_xstart(x_t, t, out["pred_xstart"])
+            mse = mean_flat((eps - noise) ** 2)
+            return out["output"], xstart_mse, mse
+
+        if step_noise is None:
+            if key is None:
+                raise ValueError("calc_bpd_loop needs `key` or `step_noise`")
+
+            def step(k, i):
+                k, k_step = jax.random.split(k)
+                t = jnp.full((B,), i, dtype=jnp.int32)
+                noise = jax.random.normal(k_step, x_start.shape,
+                                          x_start.dtype)
+                return k, body(self.q_sample(x_start, t, noise), t, noise)
+
+            _, (vb, xstart_mse, mse) = jax.lax.scan(step, key, indices)
+        else:
+            def step_det(carry, xs):
+                i, noise = xs
+                t = jnp.full((B,), i, dtype=jnp.int32)
+                return carry, body(self.q_sample(x_start, t, noise), t, noise)
+
+            _, (vb, xstart_mse, mse) = jax.lax.scan(
+                step_det, None, (indices, step_noise))
+
+        vb, xstart_mse, mse = vb.T, xstart_mse.T, mse.T  # [B, T]
+        prior = self.prior_bpd(x_start)
+        return {"total_bpd": vb.sum(axis=1) + prior, "prior_bpd": prior,
+                "vb": vb, "xstart_mse": xstart_mse, "mse": mse}

@@ -378,3 +378,33 @@ def test_vb_terms_bpd_matches():
                                ref_out["output"].numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(our_out["pred_xstart"]),
                                ref_out["pred_xstart"].numpy(), atol=2e-6)
+
+
+def test_calc_bpd_loop_matches(monkeypatch):
+    """Full VLB sweep (`gaussian_diffusion.py:1535-1609`: `_prior_bpd` +
+    `calc_bpd_loop`) on a respaced 25-step schedule with shared per-step
+    q_sample noise (torch.randn_like patched to replay the same draws)."""
+    ref, ours = _pair([25])
+    rng = np.random.default_rng(9)
+    x0 = _rand(rng)
+    noises = [_rand(rng) for _ in range(25)]
+    it = iter(noises)
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda x: torch.from_numpy(next(it)))
+
+    ref_out = ref.calc_bpd_loop(_torch_denoiser, torch.from_numpy(x0),
+                                clip_denoised=False,
+                                model_kwargs=_y_kwargs())
+    our_out = ours.calc_bpd_loop(
+        _jax_denoiser, jnp.asarray(x0),
+        step_noise=jnp.asarray(np.stack(noises)))
+
+    np.testing.assert_allclose(np.asarray(our_out["prior_bpd"]),
+                               ref_out["prior_bpd"].numpy(), atol=1e-4)
+    for k in ("vb", "xstart_mse", "mse"):
+        np.testing.assert_allclose(np.asarray(our_out[k]),
+                                   ref_out[k].numpy(), atol=1e-4,
+                                   err_msg=k)
+    np.testing.assert_allclose(np.asarray(our_out["total_bpd"]),
+                               ref_out["total_bpd"].numpy(), rtol=1e-4,
+                               atol=1e-3)
