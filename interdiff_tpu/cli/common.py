@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import pathlib
-from typing import Dict, Iterator
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 
@@ -185,6 +185,30 @@ def load_smpl_models(args) -> Dict[str, object]:
                                              f"SMPLH_{g}.pkl"))
         for g in ("male", "female")
     }
+
+
+def find_object_mesh(motion_path: str, obj_name: str) -> Optional[str]:
+    """Locate the simplified object mesh for a sequence's category.
+
+    The reference renders the SIMPLIFIED_MESH ply of the object
+    (`eval_smpl_short.py:317-327`, map at `data/utils.py:18-62`:
+    ``<objects root>/<cat>/<cat>_f1000.ply``); our staging script lays the
+    objects tree next to the sequence dir (scripts/stage_behave_sample.py).
+    Returns None when the mesh is not on disk (point-sphere rendering then).
+    """
+    base = os.path.dirname(os.path.abspath(motion_path).rstrip("/"))
+    cand = os.path.join(base, "objects", obj_name, f"{obj_name}_f1000.ply")
+    return cand if os.path.isfile(cand) else None
+
+
+def load_object_mesh(path: str):
+    """-> (vertices [Vm,3] f32 in the object's canonical frame — the same
+    frame as the sampled `obj_points` template — and faces [F,3] i32)."""
+    from interdiff_tpu.data.mesh_io import load_mesh
+
+    mesh = load_mesh(path)
+    return (np.asarray(mesh.vertices, np.float32),
+            np.asarray(mesh.faces, np.int32))
 
 
 def load_eval_sequences(motion_path: str, smpl_models, mode: str = "test"):

@@ -43,6 +43,11 @@ def main():
     parser.add_argument("--render_dir", default=None,
                         help="write a gif of rollout 0, sample 0 (full "
                              "autoregressive horizon)")
+    parser.add_argument("--obj_mesh", default=None,
+                        help="simplified object mesh (ply/obj) rendered "
+                             "under the predicted pose; auto-discovered "
+                             "next to --motion_path when omitted "
+                             "(ref eval_smpl_short.py:317-327)")
     parser.add_argument("--synthetic", type=int, default=0,
                         help="roll out N synthetic batches with a synthetic "
                              "SMPL body (no datasets/pkls needed)")
@@ -131,55 +136,162 @@ def main():
         # jitted: eager FK dispatches op-by-op over the TPU tunnel
         return postprocess_sample(cfg, smpl, x, hand, betas)["pelvis"]
 
+    # horizon = past + (1 + rollouts) * future: the data windows carry GT
+    # for the FULL autoregressive horizon so per-window drift metrics can be
+    # scored (the reference's unshipped intent imports `metrics` for exactly
+    # this, `reference/interdiff/eval_smpl_long.py:12,247`)
+    horizon = args.past_len + (1 + args.rollouts) * args.future_len
+    obj_mesh = None
     if args.synthetic:
         from interdiff_tpu.cli.common import synthetic_smpl_batches
 
         loader = synthetic_smpl_batches(
-            rng, batch_size=args.batch_size, seq_len=T, num_points=512,
+            rng, batch_size=args.batch_size, seq_len=horizon, num_points=512,
             steps=args.synthetic)
     else:
-        from interdiff_tpu.cli.common import fit_batch_size, load_eval_sequences
+        from interdiff_tpu.cli.common import (
+            find_object_mesh,
+            fit_batch_size,
+            load_eval_sequences,
+        )
 
         seqs = load_eval_sequences(args.motion_path, smpl_models)
+        mesh_path = args.obj_mesh or find_object_mesh(args.motion_path,
+                                                      seqs[0].obj_name)
+        if mesh_path:
+            from interdiff_tpu.cli.common import load_object_mesh
+
+            obj_mesh = load_object_mesh(mesh_path)
         # the eval loop consumes only pose streams + the point-cloud
-        # template (contacts are recomputed in-scan) -> light fields
+        # template (contacts are recomputed in-scan) -> light fields;
+        # future_len covers the whole rollout horizon for GT scoring
         ds = BehaveDataset(seqs, past_len=args.past_len,
-                           future_len=args.future_len, rng=rng,
+                           future_len=horizon - args.past_len, rng=rng,
                            fields="light")
         args.batch_size = fit_batch_size(len(ds), args.batch_size)
         loader = batch_iterator(ds, collate, batch_size=args.batch_size,
                                 rng=rng, shuffle=False)
+    if args.obj_mesh and obj_mesh is None:
+        from interdiff_tpu.cli.common import load_object_mesh
+
+        obj_mesh = load_object_mesh(args.obj_mesh)
+
+    window_metrics = _make_window_metrics(cfg, smpl, args.rollouts)
+    totals = [dict() for _ in range(1 + args.rollouts)]
 
     os.makedirs(args.out_dir, exist_ok=True)
     key = jax.random.PRNGKey(args.seed)
+    n_batches = 0
     for i, batch in enumerate(loader):
-        gt = smpl_gt_from_raw(
+        gt_long = smpl_gt_from_raw(
             jnp.asarray(batch["body_pose"][..., :66]),
             jnp.asarray(batch["body_trans"]),
             jnp.asarray(batch["obj_angles"]),
             jnp.asarray(batch["obj_trans"]))
         obj_points6 = jnp.asarray(batch["obj_points"][..., :6])
-        hand = jnp.asarray(batch["body_pose"][..., 66:])
-        betas = jnp.asarray(batch["body_betas"])
+        hand_long = jnp.asarray(batch["body_pose"][..., 66:])
+        betas_long = jnp.asarray(batch["body_betas"])
+        # the sampler conditions on the FIRST window only
+        gt = gt_long[:, :T]
+        hand = hand_long[:, :T]
+        betas = betas_long[:, :T]
         key, k = jax.random.split(key)
         full = rollout(sample, pelvis_fn, k, gt, obj_points6, hand, betas,
                        num_chunks=args.rollouts, cfg=cfg)
+        per_window = window_metrics(full, gt_long, hand_long, betas_long)
+        n_batches += 1
         print(f"batch {i}: rolled out {full.shape[1]} frames "
               f"({1 + args.rollouts} windows)")
+        for w, m in enumerate(per_window):
+            for k2, v in m.items():
+                totals[w][k2] = totals[w].get(k2, 0.0) + float(v)
+            s = args.past_len + w * args.future_len
+            print(f"  window {w} (frames {s}-{s + args.future_len}):",
+                  {k2: round(v / n_batches, 5) for k2, v in totals[w].items()})
         np.save(os.path.join(args.out_dir, f"rollout_{i}.npy"),
                 np.asarray(full))
         if args.render_dir:
             _render_rollout(args, cfg, smpl, full, hand, betas,
-                            batch["obj_points"], i)
+                            batch["obj_points"], i, obj_mesh)
         if i >= 2:
             break
 
+    summary = [{k2: v / max(n_batches, 1) for k2, v in t.items()}
+               for t in totals]
+    import json
 
-def _render_rollout(args, cfg, smpl, full, hand, betas, obj_points, i):
+    with open(os.path.join(args.out_dir, "drift_metrics.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print("rollout drift summary (per window):", summary)
+    return summary
+
+
+def _make_window_metrics(cfg, smpl, num_chunks):
+    """Per-window rollout drift vs GT: global/local MPJPE, body and object
+    translation error, each a batch-mean scalar per future window (the
+    short-term metric family of `reference/interdiff/eval_smpl_short.py:
+    24-81` applied per autoregressive chunk).  Prediction FK uses the GT
+    hand poses and betas over the horizon — the same convention as the
+    short-term protocol, where both streams come from the batch."""
+    from interdiff_tpu.geometry.rotations import (
+        matrix_to_axis_angle,
+        rotation_6d_to_matrix,
+    )
+    from interdiff_tpu.smpl.model import smpl_forward
+
+    D = cfg.smpl_dim + 3
+
+    @jax.jit
+    def _joints(x, hand, betas):
+        B, Tf = x.shape[:2]
+        body = x[..., :D]
+        body_aa = matrix_to_axis_angle(rotation_6d_to_matrix(
+            body[..., :-3].reshape(B, Tf, -1, 6))).reshape(B, Tf, -1)
+        pose = jnp.concatenate([body_aa, hand], axis=-1)
+        _, jtr, _, _ = smpl_forward(
+            smpl, pose.reshape(B * Tf, -1), betas.reshape(B * Tf, -1),
+            body[..., -3:].reshape(B * Tf, 3))
+        return jtr.reshape(B, Tf, -1, 3)
+
+    def window_metrics(full, gt_long, hand_long, betas_long):
+        Tf = full.shape[1]
+        gt_long = gt_long[:, :Tf]
+        hand_long, betas_long = hand_long[:, :Tf], betas_long[:, :Tf]
+        jtr = _joints(full, hand_long, betas_long)
+        jtr_gt = _joints(gt_long, hand_long, betas_long)
+        out = []
+        for w in range(1 + num_chunks):
+            s = cfg.past_len + w * cfg.future_len
+            e = s + cfg.future_len
+            j, jg = jtr[:, s:e], jtr_gt[:, s:e]
+            local = j - j[:, :, 0:1]
+            local_gt = jg - jg[:, :, 0:1]
+            out.append({
+                "global_mpjpe": float(
+                    jnp.linalg.norm(j - jg, axis=-1).mean()),
+                "local_mpjpe": float(
+                    jnp.linalg.norm(local - local_gt, axis=-1).mean()),
+                "body_translation": float(jnp.linalg.norm(
+                    full[:, s:e, D - 3 : D] - gt_long[:, s:e, D - 3 : D],
+                    axis=-1).mean()),
+                "obj_translation": float(jnp.linalg.norm(
+                    full[:, s:e, -3:] - gt_long[:, s:e, -3:],
+                    axis=-1).mean()),
+            })
+        return out
+
+    return window_metrics
+
+
+def _render_rollout(args, cfg, smpl, full, hand, betas, obj_points, i,
+                    obj_mesh=None):
     """Render sample 0 of the full autoregressive horizon (past window +
     every rolled-out future chunk) as a 4-yaw-view mesh gif.  Hand poses and
     betas beyond the first window are held at their last ground-truth frame
-    — the rollout states carry only the 144-dim body+object stream."""
+    — the rollout states carry only the 144-dim body+object stream.
+    ``obj_mesh`` = (canonical verts, faces) renders the real simplified
+    object MESH under the predicted pose (ref `eval_smpl_short.py:317-327`);
+    without it the sampled template cloud is drawn as spheres."""
     from interdiff_tpu.geometry.rotations import (
         matrix_to_axis_angle,
         rotation_6d_to_matrix,
@@ -208,12 +320,15 @@ def _render_rollout(args, cfg, smpl, full, hand, betas, obj_points, i):
 
     verts, obj_rot, obj_trans = fk(full, jnp.asarray(hand),
                                    jnp.asarray(betas))
-    tpl = np.asarray(obj_points[0, :, :3])
+    if obj_mesh is not None:
+        tpl, obj_faces = obj_mesh
+    else:
+        tpl, obj_faces = np.asarray(obj_points[0, :, :3]), None
     obj_verts = (np.einsum("tij,pj->tpi", np.asarray(obj_rot[0]), tpl)
                  + np.asarray(obj_trans[0])[:, None])
     os.makedirs(args.render_dir, exist_ok=True)
     visualize_body_obj(
-        np.asarray(verts[0]), np.asarray(smpl.faces), obj_verts, None,
+        np.asarray(verts[0]), np.asarray(smpl.faces), obj_verts, obj_faces,
         past_len=args.past_len,
         save_path=os.path.join(args.render_dir, f"rollout{i}.gif"))
 

@@ -45,6 +45,11 @@ def main():
                         choices=["ddpm", "ddim", "plms"])
     parser.add_argument("--render_dir", default=None,
                         help="write a gif of sample 0 per batch (seam-smoothed)")
+    parser.add_argument("--obj_mesh", default=None,
+                        help="simplified object mesh (ply/obj) rendered "
+                             "under the predicted pose; auto-discovered "
+                             "next to --motion_path when omitted "
+                             "(ref eval_smpl_short.py:317-327)")
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="shard the sampling + FK/metrics batch over an "
                              "N-device data mesh (0 = single device); "
@@ -186,6 +191,7 @@ def main():
         metrics_fn = jax.jit(raw_metrics)
         place_batch = lambda x: x  # noqa: E731
 
+    obj_mesh = None
     if args.synthetic:
         from interdiff_tpu.cli.common import synthetic_smpl_batches
 
@@ -193,9 +199,19 @@ def main():
             rng, batch_size=args.batch_size, seq_len=T, num_points=512,
             steps=args.synthetic)
     else:
-        from interdiff_tpu.cli.common import fit_batch_size, load_eval_sequences
+        from interdiff_tpu.cli.common import (
+            find_object_mesh,
+            fit_batch_size,
+            load_eval_sequences,
+        )
 
         seqs = load_eval_sequences(args.motion_path, smpl_models)
+        mesh_path = args.obj_mesh or find_object_mesh(args.motion_path,
+                                                      seqs[0].obj_name)
+        if mesh_path:
+            from interdiff_tpu.cli.common import load_object_mesh
+
+            obj_mesh = load_object_mesh(mesh_path)
         # the eval loop consumes only pose streams + the point-cloud
         # template (contacts are recomputed in-scan) -> light fields
         ds = BehaveDataset(seqs, past_len=args.past_len,
@@ -212,6 +228,10 @@ def main():
                   f"(divisible by --mesh_devices)")
         loader = batch_iterator(ds, collate, batch_size=args.batch_size,
                                 rng=rng, shuffle=False)
+    if args.obj_mesh and obj_mesh is None:  # e.g. synthetic + explicit mesh
+        from interdiff_tpu.cli.common import load_object_mesh
+
+        obj_mesh = load_object_mesh(args.obj_mesh)
 
     n_fold = args.diverse_fold
 
@@ -274,14 +294,19 @@ def main():
             from interdiff_tpu.geometry.rotations import axis_angle_to_matrix
 
             rot = np.asarray(axis_angle_to_matrix(obj_s[0, :, :3]))
-            tpl = np.asarray(batch["obj_points"][0, :, :3])
+            if obj_mesh is not None:
+                # the real simplified object MESH under the predicted pose
+                # (ref `eval_smpl_short.py:317-327`); its canonical frame is
+                # the same one the template cloud was sampled in
+                tpl, obj_faces = obj_mesh
+            else:
+                # no mesh on disk: the sampled template cloud as spheres
+                tpl, obj_faces = np.asarray(batch["obj_points"][0, :, :3]), None
             obj_verts = np.einsum("tij,pj->tpi", rot, tpl) \
                 + np.asarray(obj_s[0, :, None, 3:])
-            # obj_faces=None: the BEHAVE object is a sampled point cloud —
-            # rendered as spheres, like the reference's marker path
             visualize_body_obj(
                 np.asarray(verts_s[0]), np.asarray(smpl.faces), obj_verts,
-                None, past_len=args.past_len,
+                obj_faces, past_len=args.past_len,
                 save_path=os.path.join(args.render_dir, f"batch{nb}.gif"))
 
 

@@ -23,22 +23,66 @@ def test_eval_smpl_short_synthetic_fold(monkeypatch, capsys):
     assert "global_mpjpe" in out and "penetrate" in out
 
 
+def _write_tiny_ply(path):
+    """A 4-vertex tetrahedron ply for the object-mesh render branch."""
+    path.write_text(
+        "ply\nformat ascii 1.0\nelement vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element face 4\nproperty list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 0\n0.2 0 0\n0 0.2 0\n0 0 0.2\n"
+        "3 0 1 2\n3 0 1 3\n3 0 2 3\n3 1 2 3\n")
+    return str(path)
+
+
 def test_eval_smpl_long_synthetic(monkeypatch, tmp_path, capsys):
+    import json
+
     from interdiff_tpu.cli.eval_smpl_long import main
 
+    mesh = _write_tiny_ply(tmp_path / "tiny.ply")
     _run(main, ["--synthetic", "1", "--batch_size", "2", "--rollouts", "1",
                 "--respacing", "5", "--mode", "no_correction",
-                "--out_dir", str(tmp_path),
+                "--out_dir", str(tmp_path), "--obj_mesh", mesh,
                 "--render_dir", str(tmp_path / "gifs")], monkeypatch)
     out = capsys.readouterr().out
     assert "rolled out 60 frames" in out  # 35 + 25 (one extra chunk)
     roll = np.load(tmp_path / "rollout_0.npy")
     assert roll.shape[1] == 60 and np.isfinite(roll).all()
-    # the full-horizon render covers every rolled-out frame
+    # per-window drift metrics are computed, printed and persisted
+    assert "rollout drift summary" in out and "window 1" in out
+    drift = json.load(open(tmp_path / "drift_metrics.json"))
+    assert len(drift) == 2  # first window + 1 rollout chunk
+    for w in drift:
+        assert set(w) == {"global_mpjpe", "local_mpjpe", "body_translation",
+                          "obj_translation"}
+        assert all(np.isfinite(v) and v > 0 for v in w.values())
+    # the full-horizon render covers every rolled-out frame (and exercised
+    # the object-mesh faces branch via --obj_mesh)
     from PIL import Image
 
     gif = Image.open(tmp_path / "gifs" / "rollout0.gif")
     assert gif.n_frames == 60
+
+
+def test_eval_smpl_short_render_object_mesh(monkeypatch, tmp_path, capsys):
+    """--obj_mesh routes the render through the mesh_viz faces branch
+    (`viz/mesh_viz.py:79` obj_is_cloud=False), the path the reference's
+    object rendering takes (`eval_smpl_short.py:317-327`)."""
+    from interdiff_tpu.cli.eval_smpl_short import main
+
+    mesh = _write_tiny_ply(tmp_path / "tiny.ply")
+    _run(main, ["--synthetic", "1", "--batch_size", "2",
+                "--diverse_samples", "1", "--diverse_fold", "1",
+                "--respacing", "5", "--mode", "no_correction",
+                "--obj_mesh", mesh,
+                "--render_dir", str(tmp_path / "gifs")], monkeypatch)
+    from PIL import Image
+
+    gif = Image.open(tmp_path / "gifs" / "batch1.gif")
+    # gif encoders may merge identical quantised consecutive frames, so pin
+    # "a real animation came out", not an exact count
+    assert gif.n_frames > 1
 
 
 def test_optimization_cli_from_samples(monkeypatch, tmp_path, capsys):
