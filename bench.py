@@ -27,7 +27,56 @@ STEPS = 100
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
 
 
-def measure_tpu() -> float:
+def _cost_analysis(compiled) -> dict:
+    """XLA's post-optimisation cost model for a compiled executable
+    (flops + bytes accessed of the fused graph); {} when the backend
+    doesn't expose it."""
+    try:
+        ca = compiled.cost_analysis()
+    except Exception:
+        return {}
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return dict(ca) if ca else {}
+
+
+def _perf_fields(compiled, calls_per_sec: float) -> dict:
+    """Roofline accounting for the hot executable: achieved FLOP/s, MFU and
+    HBM-bandwidth utilisation vs the chip roofs, plus the identified bound.
+
+    Peaks default to TPU v5e (INTERDIFF_BENCH_PEAK_TFLOPS=197 bf16 MXU —
+    the platform quantises f32 matmuls to bf16 by default, see CLAUDE.md;
+    INTERDIFF_BENCH_HBM_GBS=819).  FLOPs/bytes come from XLA's cost model
+    on the post-fusion graph, so `hbm_gbs` approximates true HBM traffic.
+    A graph sitting far from BOTH roofs is latency-bound — per-step
+    dispatch/serialisation of the scan dominates, the regime this
+    d_model-256 denoiser lives in.
+    """
+    ca = _cost_analysis(compiled)
+    flops = ca.get("flops", 0.0)
+    byts = ca.get("bytes accessed", 0.0)
+    peak_tf = float(os.environ.get("INTERDIFF_BENCH_PEAK_TFLOPS", "197"))
+    hbm_peak = float(os.environ.get("INTERDIFF_BENCH_HBM_GBS", "819"))
+    out = {}
+    if flops > 0:
+        achieved = flops * calls_per_sec
+        out["flops_per_call"] = flops
+        out["achieved_tflops"] = round(achieved / 1e12, 4)
+        out["mfu"] = round(achieved / (peak_tf * 1e12), 5)
+    if byts > 0:
+        bw = byts * calls_per_sec
+        out["hbm_gbs"] = round(bw / 1e9, 2)
+        out["hbm_util"] = round(bw / (hbm_peak * 1e9), 5)
+    if flops > 0 and byts > 0:
+        mfu, hu = out["mfu"], out["hbm_util"]
+        if max(mfu, hu) < 0.05:
+            out["bound"] = "latency"
+        else:
+            out["bound"] = "hbm" if hu >= mfu else "mxu"
+    return out
+
+
+def measure_tpu():
     import jax
 
     # Persistent compilation cache: over the axon tunnel a cold compile of
@@ -112,7 +161,8 @@ def measure_tpu() -> float:
         memory = enc(gt, obj_points)
         memory_t = tile_for_diverse_samples(memory, n_div)
         gt_t = tile_for_diverse_samples(gt, n_div)
-        sample_tiled(key, gt_t, memory_t).block_until_ready()  # compile
+        compiled = sample_tiled.lower(key, gt_t, memory_t).compile()
+        sample_tiled(key, gt_t, memory_t).block_until_ready()  # warm
         n_rep = 5
         t0 = time.perf_counter()
         memory_t = tile_for_diverse_samples(enc(gt, obj_points), n_div)
@@ -120,7 +170,7 @@ def measure_tpu() -> float:
             out = sample_tiled(jax.random.fold_in(key, i), gt_t, memory_t)
         out.block_until_ready()
         dt = time.perf_counter() - t0
-        return Bt * n_rep / dt
+        return Bt * n_rep / dt, _perf_fields(compiled, n_rep / dt)
 
     if os.environ.get("INTERDIFF_BENCH_NO_REUSE") != "1":
         # DEFAULT = eval-protocol mode: best-of-N evaluation (the pinned
@@ -141,7 +191,8 @@ def measure_tpu() -> float:
                 model_fn, key, (B, T, 144), inpaint=Inpaint(mask, gt))
 
         memory = enc(gt, obj_points)
-        sample_mem(key, gt, memory).block_until_ready()  # compile
+        compiled = sample_mem.lower(key, gt, memory).compile()
+        sample_mem(key, gt, memory).block_until_ready()  # warm
         n_rep = 10
         t0 = time.perf_counter()
         memory = enc(gt, obj_points)
@@ -149,16 +200,18 @@ def measure_tpu() -> float:
             out = sample_mem(jax.random.fold_in(key, i), gt, memory)
         out.block_until_ready()
         dt = time.perf_counter() - t0
-        return B * n_rep / dt
+        return B * n_rep / dt, _perf_fields(compiled, n_rep / dt)
 
-    sample(key, gt, obj_points).block_until_ready()  # compile
+    compiled = sample.lower(key, gt, obj_points).compile()
+    sample(key, gt, obj_points).block_until_ready()  # warm
     n_rep = 5
     t0 = time.perf_counter()
     for i in range(n_rep):
         out = sample(jax.random.fold_in(key, i), gt, obj_points)
     out.block_until_ready()
     dt = time.perf_counter() - t0
-    return B * n_rep / dt  # sequences/sec on this one chip
+    # sequences/sec on this one chip
+    return B * n_rep / dt, _perf_fields(compiled, n_rep / dt)
 
 
 def _reference_qan_stacks():
@@ -330,8 +383,10 @@ def measure_tpu_correction() -> float:
 
     key = jax.random.PRNGKey(1)
     memory = enc(gt, obj_points6)
+    compiled = sample.lower(params, key, gt, obj_points6, hand, betas,
+                            memory).compile()
     sample(params, key, gt, obj_points6, hand, betas,
-           memory).block_until_ready()  # compile
+           memory).block_until_ready()  # warm
     n_rep = 5
     t0 = time.perf_counter()
     memory = enc(gt, obj_points6)
@@ -340,7 +395,7 @@ def measure_tpu_correction() -> float:
                      hand, betas, memory)
     out.block_until_ready()
     dt = time.perf_counter() - t0
-    return B * n_rep / dt
+    return B * n_rep / dt, _perf_fields(compiled, n_rep / dt)
 
 
 def measure_tpu_train() -> float:
@@ -387,14 +442,17 @@ def measure_tpu_train() -> float:
     step = jax.jit(make_smpl_train_step(model, diffusion), donate_argnums=0)
 
     key = jax.random.PRNGKey(1)
-    state, _ = step(state, batch, key)  # compile
+    # lower/compile BEFORE the donated buffers are consumed by a real call
+    compiled = step.lower(state, batch, key).compile()
+    state, _ = step(state, batch, key)  # warm
     jax.block_until_ready(state.params)
     n_rep = 20
     t0 = time.perf_counter()
     for i in range(n_rep):
         state, metrics = step(state, batch, jax.random.fold_in(key, i))
     jax.block_until_ready(state.params)
-    return n_rep / (time.perf_counter() - t0)
+    dt = time.perf_counter() - t0
+    return n_rep / dt, _perf_fields(compiled, n_rep / dt)
 
 
 def _load_or_measure_baseline() -> float:
@@ -452,7 +510,7 @@ def _require_live_backend(timeout_s: float = 180.0):
 def main():
     _require_live_backend()
     if os.environ.get("INTERDIFF_BENCH_TRAIN") == "1":
-        steps_s = measure_tpu_train()
+        steps_s, perf = measure_tpu_train()
         print(json.dumps({
             "metric": "SMPL-MDM train steps/sec/chip (B=32, 16-term loss)",
             "value": round(steps_s, 3),
@@ -461,27 +519,30 @@ def main():
             # no torch-CPU train baseline is cached; keep the field's
             # speedup-ratio contract instead of smuggling clips/s into it
             "vs_baseline": None,
+            **perf,
         }))
         return
 
     baseline = _load_or_measure_baseline()
     if os.environ.get("INTERDIFF_BENCH_CORRECTION") == "1":
-        throughput = measure_tpu_correction()
+        throughput, perf = measure_tpu_correction()
         print(json.dumps({
             "metric": "HOI sequences/sec/chip (100-step DDPM + correction-"
                       "in-scan, BEHAVE)",
             "value": round(throughput, 3),
             "unit": "seq/s/chip",
             "vs_baseline": round(throughput / baseline, 2),
+            **perf,
         }))
         return
 
-    throughput = measure_tpu()
+    throughput, perf = measure_tpu()
     print(json.dumps({
         "metric": "HOI sequences/sec/chip (100-step DDPM, BEHAVE)",
         "value": round(throughput, 3),
         "unit": "seq/s/chip",
         "vs_baseline": round(throughput / baseline, 2),
+        **perf,
     }))
 
 

@@ -226,6 +226,37 @@ def load_eval_sequences(motion_path: str, smpl_models, mode: str = "test"):
     return seqs
 
 
+def maybe_reference_mdm(path: Optional[str], track: str):
+    """Reference Lightning ``.ckpt`` FILE -> (parity-mode MDM module,
+    converted flax variables); None for orbax directories / no checkpoint.
+
+    This is the `--diffusion_ckpt` bridge for checkpoints trained by the
+    reference (`interdiff/README.md` distributes `diffusion.ckpt` /
+    `diffusion_skeleton.ckpt`): the module is constructed from the embedded
+    hyper_parameters and, for pointnet2-trained SMPL checkpoints, pinned to
+    exact-FPS parity mode (see `utils/checkpoint.mdm_smpl_from_checkpoint`).
+    """
+    if not path or not os.path.isfile(path):
+        return None
+    if track == "smpl":
+        from interdiff_tpu.utils.checkpoint import mdm_smpl_from_checkpoint
+
+        model, variables, _ = mdm_smpl_from_checkpoint(path)
+        return model, variables
+    from interdiff_tpu.models.mdm_skeleton import MDMSkeleton
+    from interdiff_tpu.utils.checkpoint import load_mdm_skeleton
+
+    variables, hp = load_mdm_skeleton(path)
+    model = MDMSkeleton(
+        embed_dim=int(hp.get("embedding_dim", 256)),
+        num_heads=int(hp.get("num_heads", 4)),
+        ff_size=int(hp.get("ff_size", 256)),
+        num_layers=int(hp.get("num_layers", 8)),
+        past_len=int(hp.get("past_len", 10)),
+        latent_usage=hp.get("latent_usage", "memory"))
+    return model, variables
+
+
 def load_correction_variables(path: str, kind: str = "smpl"):
     """Load correction-net variables ``{'params', 'batch_stats'}`` from
     either the reference torch Lightning ``.ckpt`` file or an orbax

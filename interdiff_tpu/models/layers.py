@@ -71,6 +71,10 @@ class TimestepEmbedder(nn.Module):
     def __call__(self, timesteps: jax.Array) -> jax.Array:
         pe = jnp.asarray(sinusoidal_table(self.max_len, self.latent_dim),
                          dtype=self.dtype or jnp.float32)
+        # deliberately defensive floor-cast: under rescale_timesteps the
+        # engine hands out FLOAT timesteps, which the reference would index
+        # the table with and crash (`layers.py:43`); rescale is never on in
+        # any shipped config, so behaviour is identical where it matters
         h = pe[timesteps.astype(jnp.int32)][:, None, :]  # [B, 1, D]
         h = nn.Dense(self.latent_dim, name="fc1")(h)
         h = nn.silu(h)

@@ -314,6 +314,41 @@ def test_mdm_smpl_ckpt_roundtrip(rng, smpl_pair, tmp_path):
         np.asarray(out), ref_out[:, 0].transpose(0, 2, 1), atol=1e-4)
 
 
+def test_cli_diffusion_ckpt_dispatch(smpl_pair, skel_pair, tmp_path):
+    """`--diffusion_ckpt` accepts a reference Lightning .ckpt FILE via
+    `cli/common.maybe_reference_mdm` (orbax dirs return None and follow the
+    restore_params path); the returned module runs the converted tree."""
+    from interdiff_tpu.cli.common import maybe_reference_mdm
+
+    assert maybe_reference_mdm(None, "smpl") is None
+    assert maybe_reference_mdm(str(tmp_path), "smpl") is None  # dir = orbax
+
+    ref, _, _ = smpl_pair
+    path = tmp_path / "diffusion.ckpt"
+    torch.save({"state_dict": {f"model.{k}": v
+                               for k, v in ref.state_dict().items()},
+                "hyper_parameters": vars(_smpl_args())}, path)
+    model, variables = maybe_reference_mdm(str(path), "smpl")
+    x = np.zeros((1, PAST + FUT, 144), np.float32)
+    out = model.apply(variables, jnp.asarray(x),
+                      jnp.zeros((1,), jnp.int32),
+                      jnp.zeros((1, PAST, E), jnp.float32))
+    assert out.shape == (1, PAST + FUT, 144)
+
+    ref_s, _, _ = skel_pair
+    path_s = tmp_path / "diffusion_skeleton.ckpt"
+    torch.save({"state_dict": {f"model.{k}": v
+                               for k, v in ref_s.state_dict().items()},
+                "hyper_parameters": vars(_skel_args())}, path_s)
+    model_s, variables_s = maybe_reference_mdm(str(path_s), "skeleton")
+    assert model_s.ff_size == FF_SKEL
+    out = model_s.apply(variables_s, jnp.zeros((1, 2 * PAST, 106)),
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 12, 3)),
+                        jnp.zeros((1, PAST, E)))
+    assert out.shape == (1, 2 * PAST, 106)
+
+
 def test_mdm_skeleton_ckpt_roundtrip(skel_pair, tmp_path):
     """Skeleton-track loader maps a .ckpt onto an initialisable tree."""
     import jax
