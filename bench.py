@@ -51,6 +51,10 @@ def _perf_fields(compiled, calls_per_sec: float) -> dict:
     A graph sitting far from BOTH roofs is latency-bound — per-step
     dispatch/serialisation of the scan dominates, the regime this
     d_model-256 denoiser lives in.
+
+    Caveat: XLA's counter treats custom calls as zero-cost, so graphs
+    embedding Pallas kernels (the correction-in-scan signed-NN) UNDERCOUNT
+    flops/bytes — their `mfu` is a floor, not an estimate.
     """
     ca = _cost_analysis(compiled)
     flops = ca.get("flops", 0.0)
