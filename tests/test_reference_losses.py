@@ -340,3 +340,121 @@ def test_correction_loss_terms_match_reference(rng, epoch):
                                    err_msg=f"term {k} (epoch {epoch})")
     np.testing.assert_allclose(float(ours_loss), float(ref_loss), rtol=1e-5,
                                atol=1e-6)
+
+
+# tgm (human_body_prior) stub for `tools.rotvec_to_rotmat` — axis-angle ->
+# 4x4 homogeneous rotation via the vendored pytorch3d math (both equal
+# cv2.Rodrigues; our jax side's convention parity is pinned separately in
+# tests/test_rotations.py)
+def _tgm_angle_axis_to_rotation_matrix(aa):
+    R = _vp3d.axis_angle_to_matrix(aa)
+    out = torch.zeros((aa.shape[0], 4, 4), dtype=R.dtype)
+    out[:, :3, :3] = R
+    out[:, 3, 3] = 1.0
+    return out
+
+
+_hbp_tgm.angle_axis_to_rotation_matrix = _tgm_angle_axis_to_rotation_matrix
+
+import train_correction_skeleton as ref_corr_skel  # noqa: E402  (reference)
+
+from interdiff_tpu.eval.metrics import skeleton_metrics  # noqa: E402
+from interdiff_tpu.train.losses import smpl_val_losses  # noqa: E402
+from interdiff_tpu.train.losses_correction import (  # noqa: E402
+    correction_skeleton_losses,
+)
+
+
+def test_smpl_val_loss_terms_match_reference(rng):
+    """`calc_val_loss` (`train_diffusion_smpl.py:185-260`): the 16 scalar
+    validation terms scored in rotation-MATRIX space on sampled axis-angle
+    predictions (velocities here use real gt deltas, unlike training)."""
+    T, B, nJ = PAST + 25, 3, 22
+    args = SimpleNamespace(past_len=PAST, weight_smplx_rot=1.0,
+                           weight_smplx_nonrot=0.2, weight_obj_rot=0.1,
+                           weight_obj_nonrot=0.2, weight_past=1.0,
+                           weight_v=0.2)
+    lit = ref_smpl.LitInteraction.__new__(ref_smpl.LitInteraction)
+    lit.args = args
+    body_pred = 0.5 * rng.standard_normal((T, B, 3 * nJ + 3)).astype(np.float32)
+    body_gt = 0.5 * rng.standard_normal((T, B, 3 * nJ + 3)).astype(np.float32)
+    obj_pred = 0.5 * rng.standard_normal((T, B, 6)).astype(np.float32)
+    obj_gt = 0.5 * rng.standard_normal((T, B, 6)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_loss, _, ref_weighted = lit.calc_val_loss(
+            torch.from_numpy(body_pred), torch.from_numpy(body_gt),
+            torch.from_numpy(obj_pred), torch.from_numpy(obj_gt), batch=None)
+
+    ours_loss, ours_terms = smpl_val_losses(
+        jnp.asarray(body_pred.transpose(1, 0, 2)),
+        jnp.asarray(body_gt.transpose(1, 0, 2)),
+        jnp.asarray(obj_pred.transpose(1, 0, 2)),
+        jnp.asarray(obj_gt.transpose(1, 0, 2)), past_len=PAST,
+        weights=SmplLossWeights(smplx_rot=1.0, smplx_nonrot=0.2, obj_rot=0.1,
+                                obj_nonrot=0.2, past=1.0, v=0.2))
+    assert set(ref_weighted) == set(ours_terms)
+    for k, v in ref_weighted.items():
+        np.testing.assert_allclose(np.asarray(ours_terms[k]),
+                                   v.detach().numpy(), atol=2e-5,
+                                   err_msg=f"val term {k}")
+    np.testing.assert_allclose(float(ours_loss), float(ref_loss), rtol=2e-5)
+
+
+def test_skeleton_correction_loss_terms_match_reference(rng):
+    """Skeleton correction `calc_loss`
+    (`train_correction_skeleton.py:85-126`): the 8 quaternion-space pose
+    terms with the shared `[:-3]`/`[-3:]` slicing."""
+    T, B = 2 * PAST, 3
+    args = SimpleNamespace(past_len=PAST, weight_obj_rot=1.0,
+                           weight_obj_nonrot=1.0, weight_past=0.5,
+                           weight_v=1.0)
+    lit = ref_corr_skel.LitObjInteraction.__new__(
+        ref_corr_skel.LitObjInteraction)
+    lit.args = args
+    obj_pred = rng.standard_normal((T, B, 7)).astype(np.float32)
+    obj_gt = rng.standard_normal((T, B, 7)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_loss, _, ref_weighted = lit.calc_loss(
+            torch.from_numpy(obj_pred), torch.from_numpy(obj_gt))
+
+    ours_loss, ours_terms = correction_skeleton_losses(
+        jnp.asarray(obj_pred.transpose(1, 0, 2)),
+        jnp.asarray(obj_gt.transpose(1, 0, 2)), past_len=PAST,
+        weights=CorrectionLossWeights(obj_rot=1.0, obj_nonrot=1.0, past=0.5,
+                                      v=1.0))
+    assert set(ref_weighted) == set(ours_terms)
+    for k, v in ref_weighted.items():
+        np.testing.assert_allclose(np.asarray(ours_terms[k]),
+                                   v.detach().numpy(), atol=1e-6,
+                                   err_msg=f"term {k}")
+    np.testing.assert_allclose(float(ours_loss), float(ref_loss), rtol=1e-6)
+
+
+def test_skeleton_calc_metric_matches_reference(rng):
+    """`calc_metric` (`train_diffusion_skeleton.py:65-87`): MPJPE-h/o,
+    translation and the sign-invariant quaternion error over frames 10+."""
+    T, B = 2 * PAST, 3
+    lit = ref_skel.LitInteraction.__new__(ref_skel.LitInteraction)
+    lit.args = SimpleNamespace(num_joints=21, num_points=12)
+    body_pred = rng.standard_normal((T, B, 21, 3)).astype(np.float32)
+    body_gt = rng.standard_normal((T, B, 21, 3)).astype(np.float32)
+    obj_pred = rng.standard_normal((T, B, 12, 3)).astype(np.float32)
+    obj_gt = rng.standard_normal((T, B, 12, 3)).astype(np.float32)
+    pose_pred = rng.standard_normal((T, B, 7)).astype(np.float32)
+    pose_gt = rng.standard_normal((T, B, 7)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_m = lit.calc_metric(
+            torch.from_numpy(body_pred), torch.from_numpy(body_gt),
+            torch.from_numpy(obj_pred), torch.from_numpy(obj_gt),
+            torch.from_numpy(pose_pred), torch.from_numpy(pose_gt))
+
+    tb = lambda a: jnp.asarray(np.moveaxis(a, 0, 1))
+    ours = skeleton_metrics(tb(body_pred), tb(body_gt), tb(obj_pred),
+                            tb(obj_gt), tb(pose_pred), tb(pose_gt), start=10)
+    assert set(ref_m) == set(ours)
+    for k, v in ref_m.items():
+        np.testing.assert_allclose(float(ours[k]), v, rtol=1e-5,
+                                   err_msg=f"metric {k}")
