@@ -1,0 +1,140 @@
+"""Decompose the headline sampling scan's per-step latency on the chip.
+
+bench.py measures ~1.05 ms per reverse-diffusion step at the eval layout
+(64 rows x 35 tokens, d 256, 8-layer cross-attn decoder) and the roofline
+fields say the scan sits at 0.16% MFU / 1.2% HBM — latency-bound.  This
+script times the step's constituents in isolation so any kernel-fusion
+effort lands where the time actually goes:
+
+  * one full denoiser apply (the scan body minus schedule math)
+  * a single QaN decoder layer / vanilla decoder layer
+  * the embeddings + output heads
+  * the p_sample schedule math + noise draw around the denoiser
+  * the full 100-step scan (reference point, = bench.py)
+
+Run on the chip (no platform override):
+    python scripts/profile_sampler_parts.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from interdiff_tpu.diffusion.gaussian import (  # noqa: E402
+    GaussianDiffusion,
+    Inpaint,
+)
+from interdiff_tpu.models.layers import (  # noqa: E402
+    DecoderLayer,
+    QaNDecoderLayer,
+)
+from interdiff_tpu.models.mdm_smpl import MDMSmpl  # noqa: E402
+
+B, T, E, FF, H = 64, 35, 256, 1024, 4  # bench fold-2 layout
+PAST = 10
+
+
+def bench(name, fn, *args, reps=50):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:44s} {dt * 1e3:9.3f} ms")
+    return dt
+
+
+def main():
+    rng = np.random.default_rng(233)
+    model = MDMSmpl()
+    diffusion = GaussianDiffusion.create_named(
+        steps=1000, timestep_respacing="100")
+
+    gt = jnp.asarray(rng.standard_normal((B, T, 144)), jnp.float32)
+    obj_points = jnp.asarray(rng.standard_normal((B, 256, 6)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), gt, obj_points,
+                        jnp.zeros((B,), jnp.int32),
+                        method=MDMSmpl.init_forward)
+    memory = jnp.asarray(rng.standard_normal((B, PAST, E)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, T, 144)), jnp.float32)
+    t = jnp.full((B,), 50, jnp.int32)
+    mask = jnp.zeros((B, T, 144), bool).at[:, :PAST].set(True)
+
+    denoise = jax.jit(lambda x, t: model.apply(params, x, t, memory))
+    d_full = bench("denoiser apply (16-layer fwd)", denoise, x, t)
+
+    # single layers at the denoiser's hidden shape
+    h = jnp.asarray(rng.standard_normal((B, T, E)), jnp.float32)
+    qan = QaNDecoderLayer(E, H, FF)
+    qp = qan.init(jax.random.PRNGKey(1), h, memory)
+    d_qan = bench("one QaN decoder layer", jax.jit(
+        lambda a, m: qan.apply(qp, a, m)), h, memory)
+    van = DecoderLayer(E, H, FF)
+    vp = van.init(jax.random.PRNGKey(2), h, memory)
+    d_van = bench("one vanilla decoder layer", jax.jit(
+        lambda a, m: van.apply(vp, a, m)), h, memory)
+    print(f"{'  -> 6*qan + 2*vanilla':44s} {(6 * d_qan + 2 * d_van) * 1e3:9.3f} ms")
+
+    # p_sample step = denoiser + schedule math + noise
+    def one_step(x, t, key):
+        def model_fn(xx, ts):
+            return model.apply(params, xx, ts, memory)
+
+        return diffusion.p_sample(model_fn, x, t, key,
+                                  inpaint=Inpaint(mask, gt))["sample"]
+
+    d_step = bench("p_sample (denoiser + schedule + noise)",
+                   jax.jit(one_step), x, t, jax.random.PRNGKey(3))
+
+    def full(key):
+        def model_fn(xx, ts):
+            return model.apply(params, xx, ts, memory)
+
+        return diffusion.p_sample_loop(model_fn, key, (B, T, 144),
+                                       inpaint=Inpaint(mask, gt))
+
+    d_scan = bench("100-step p_sample_loop scan", jax.jit(full),
+                   jax.random.PRNGKey(4), reps=5)
+    print(f"{'  -> scan per step':44s} {d_scan / 100 * 1e3:9.3f} ms")
+    print(f"{'  -> dispatch overhead per isolated call':44s} "
+          f"{(d_step - d_scan / 100) * 1e3:9.3f} ms")
+
+
+def matmul_floor():
+    """Floor check: the decoder stack's matmuls alone (3 per vanilla-ish
+    layer x 16 + heads), no attention softmaxes / layernorms — how close
+    XLA's step time is to its pure-MXU content."""
+    rng = np.random.default_rng(0)
+    h0 = jnp.asarray(rng.standard_normal((B * T, E)), jnp.float32)
+    w_qkv = jnp.asarray(rng.standard_normal((16, E, 3 * E)), jnp.float32) * 0.02
+    w_up = jnp.asarray(rng.standard_normal((16, E, FF)), jnp.float32) * 0.02
+    w_dn = jnp.asarray(rng.standard_normal((16, FF, E)), jnp.float32) * 0.02
+
+    @jax.jit
+    def chain(h):
+        for i in range(16):
+            q = h @ w_qkv[i]
+            h = jnp.tanh(q[:, :E])  # stand-in nonlinearity, keeps dims
+            u = h @ w_up[i]
+            h = u @ w_dn[i]
+        return h
+
+    bench("16-layer matmul-only chain (qkv+up+down)", chain, h0)
+
+
+if __name__ == "__main__":
+    main()
+    matmul_floor()
