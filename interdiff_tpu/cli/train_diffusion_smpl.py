@@ -49,6 +49,11 @@ def main():
                              "unshipped SMPLH pkls (poses/trans/obj pose and "
                              "the object point cloud stay real)")
     parser.add_argument("--val_every", type=int, default=50)
+    parser.add_argument("--val_diverse", type=int, default=1,
+                        help=">1 scores validation with the reference's "
+                             "test-mode calc_loss: N diverse samples, mean "
+                             "terms + per-clip min-over-samples *_min "
+                             "diagnostics (train_diffusion_smpl.py:262-379)")
     parser.add_argument("--val_respacing", default="",
                         help="timestep respacing for the validation sampler "
                              "('' = the faithful full schedule; e.g. '25' "
@@ -154,13 +159,36 @@ def main():
             timestep_respacing=args.val_respacing).build()
     val_sampler = jax.jit(make_sampler(eval_cfg, model, val_diffusion))
 
-    @jax.jit
-    def _val_losses(params, key, gt, pts6, hand, betas):
-        x = val_sampler(params, key, gt, pts6, hand, betas)
-        body_p, obj_p = state_to_axis_angle(eval_cfg, x)
-        body_g, obj_g = state_to_axis_angle(eval_cfg, gt)
-        return smpl_val_losses(body_p, body_g, obj_p, obj_g,
-                               past_len=args.past_len)
+    if args.val_diverse > 1:
+        from interdiff_tpu.parallel.sample_parallel import (
+            tile_for_diverse_samples,
+        )
+        from interdiff_tpu.train.losses import smpl_diverse_test_losses
+
+        Nv = args.val_diverse
+
+        @jax.jit
+        def _val_losses(params, key, gt, pts6, hand, betas):
+            gt_t, pts_t, hand_t, betas_t = (
+                tile_for_diverse_samples(a, Nv)
+                for a in (gt, pts6, hand, betas))
+            x = val_sampler(params, key, gt_t, pts_t, hand_t, betas_t)
+            body_p, obj_p = state_to_axis_angle(eval_cfg, x)
+            body_g, obj_g = state_to_axis_angle(eval_cfg, gt)
+            B = gt.shape[0]
+            rs = lambda a: a.reshape((Nv, B) + a.shape[1:])  # noqa: E731
+            loss, loss_dict, _ = smpl_diverse_test_losses(
+                rs(body_p), body_g, rs(obj_p), obj_g,
+                past_len=args.past_len)
+            return loss, loss_dict
+    else:
+        @jax.jit
+        def _val_losses(params, key, gt, pts6, hand, betas):
+            x = val_sampler(params, key, gt, pts6, hand, betas)
+            body_p, obj_p = state_to_axis_angle(eval_cfg, x)
+            body_g, obj_g = state_to_axis_angle(eval_cfg, gt)
+            return smpl_val_losses(body_p, body_g, obj_p, obj_g,
+                                   past_len=args.past_len)
 
     def run_validation(params, b, key):
         gt = smpl_gt_from_raw(

@@ -167,6 +167,97 @@ def smpl_val_losses(
     return sum(terms.values()), terms
 
 
+def smpl_diverse_test_losses(
+    body_pred: jax.Array,  # [N, B, T, 3*nJ + 3] diverse sampled aa + trans
+    body_gt: jax.Array,  # [B, T, 3*nJ + 3]
+    obj_pred: jax.Array,  # [N, B, T, 6]
+    obj_gt: jax.Array,  # [B, T, 6]
+    *, past_len: int,
+    weights: SmplLossWeights = SmplLossWeights(),
+) -> Tuple[jax.Array, Dict[str, jax.Array], Dict[str, jax.Array]]:
+    """Diverse-sample test loss (`calc_loss`,
+    `train_diffusion_smpl.py:262-379`): the 16 rotation-matrix-space terms
+    averaged over ALL diverse samples plus their 16 ``*_min`` variants
+    (per-clip min over the sample axis, then batch mean — the best-of-N
+    lens the test loop logs).  Returns ``(weighted sum, loss_dict,
+    weighted_loss_dict)`` like the reference; only the 16 mean terms are
+    weighted/summed, the ``_min`` terms are diagnostics.
+
+    Slice quirk reproduced: the FUTURE velocity here differs from
+    `calc_val_loss` — deltas `[p+1:] - [p:-1]` on both sides (`:293-298`),
+    not the val loss's `[p:] - [p-1:-1]`.
+    """
+    from interdiff_tpu.geometry.rotations import axis_angle_to_matrix
+
+    w = weights
+    p = past_len
+    N, B, T = body_pred.shape[:3]
+    nJ = (body_pred.shape[-1] - 3) // 3
+
+    def rots(x, n):
+        return axis_angle_to_matrix(
+            x[..., : 3 * n].reshape(x.shape[:-1] + (n, 3))
+        ).reshape(x.shape[:-1] + (n * 9,))
+
+    br = rots(body_pred, nJ)
+    br_g = jnp.broadcast_to(rots(body_gt, nJ)[None], br.shape)
+    orr = rots(obj_pred, 1)
+    or_g = jnp.broadcast_to(rots(obj_gt, 1)[None], orr.shape)
+    bt, ot = body_pred[..., -3:], obj_pred[..., -3:]
+    bt_g = jnp.broadcast_to(body_gt[None, ..., -3:], bt.shape)
+    ot_g = jnp.broadcast_to(obj_gt[None, ..., -3:], ot.shape)
+
+    def mean_term(a, b):
+        return jnp.mean((a - b) ** 2)
+
+    def min_term(a, b):
+        # per (sample, clip) mean over (T, C), min over samples, batch mean
+        per = jnp.mean((a - b) ** 2, axis=(2, 3))  # [N, B]
+        return per.min(axis=0).mean()
+
+    d_past = lambda x: x[:, :, 1 : p + 1] - x[:, :, :p]
+    d_fut = lambda x: x[:, :, p + 1 :] - x[:, :, p:-1]
+
+    pairs = {
+        "body_rot_past": (br[:, :, :p], br_g[:, :, :p]),
+        "body_nonrot_past": (bt[:, :, :p], bt_g[:, :, :p]),
+        "obj_rot_past": (orr[:, :, :p], or_g[:, :, :p]),
+        "obj_nonrot_past": (ot[:, :, :p], ot_g[:, :, :p]),
+        "body_rot_v_past": (d_past(br), d_past(br_g)),
+        "body_nonrot_v_past": (d_past(bt), d_past(bt_g)),
+        "obj_rot_v_past": (d_past(orr), d_past(or_g)),
+        "obj_nonrot_v_past": (d_past(ot), d_past(ot_g)),
+        "body_rot_future": (br[:, :, p:], br_g[:, :, p:]),
+        "body_nonrot_future": (bt[:, :, p:], bt_g[:, :, p:]),
+        "obj_rot_future": (orr[:, :, p:], or_g[:, :, p:]),
+        "obj_nonrot_future": (ot[:, :, p:], ot_g[:, :, p:]),
+        "body_rot_v_future": (d_fut(br), d_fut(br_g)),
+        "body_nonrot_v_future": (d_fut(bt), d_fut(bt_g)),
+        "obj_rot_v_future": (d_fut(orr), d_fut(or_g)),
+        "obj_nonrot_v_future": (d_fut(ot), d_fut(ot_g)),
+    }
+    loss_dict = {k: mean_term(a, b) for k, (a, b) in pairs.items()}
+    loss_dict.update({f"{k}_min": min_term(a, b)
+                      for k, (a, b) in pairs.items()})
+
+    wmap = {
+        "body_rot": w.smplx_rot, "body_nonrot": w.smplx_nonrot,
+        "obj_rot": w.obj_rot, "obj_nonrot": w.obj_nonrot,
+    }
+
+    def weight_of(name: str) -> float:
+        base = wmap[name.rsplit("_", 2)[0] if "_v_" in name
+                    else name.rsplit("_", 1)[0]]
+        if "_v_" in name:
+            base *= w.v
+        if name.endswith("_past"):
+            base *= w.past
+        return base
+
+    weighted = {k: loss_dict[k] * weight_of(k) for k in pairs}
+    return sum(weighted.values()), loss_dict, weighted
+
+
 @dataclass(frozen=True)
 class SkeletonLossWeights:
     """Defaults from `train_diffusion_skeleton.py:372-379`."""

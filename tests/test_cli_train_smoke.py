@@ -38,6 +38,27 @@ def test_train_diffusion_smpl_synthetic(monkeypatch, tmp_path, capsys):
     _check_run_dir(str(tmp_path))
 
 
+def test_train_diffusion_smpl_val_diverse(monkeypatch, tmp_path, capsys):
+    """--val_diverse N validates with the reference's test-mode calc_loss:
+    the metrics line carries the per-clip min-over-samples *_min terms."""
+    import json
+    import os
+
+    from interdiff_tpu.cli.train_diffusion_smpl import main
+
+    _run(main, ["--synthetic", "2", "--epochs", "1", "--batch_size", "8",
+                "--use_pointnet2", "0", "--embedding_dim", "32",
+                "--ff_size", "64", "--num_layers", "2", "--val_every", "1",
+                "--val_diverse", "2", "--val_respacing", "5",
+                "--results_dir", str(tmp_path)], monkeypatch)
+    capsys.readouterr()
+    rows = [json.loads(l) for l in
+            open(os.path.join(tmp_path, "metrics.jsonl"))]
+    val = [r for r in rows if "val_loss" in r][-1]
+    assert "body_rot_future_min" in val and "obj_nonrot_v_past_min" in val
+    assert val["body_rot_future_min"] <= val["body_rot_future"] + 1e-6
+
+
 def test_train_diffusion_skeleton_synthetic(monkeypatch, tmp_path, capsys):
     from interdiff_tpu.cli.train_diffusion_skeleton import main
 

@@ -458,3 +458,47 @@ def test_skeleton_calc_metric_matches_reference(rng):
     for k, v in ref_m.items():
         np.testing.assert_allclose(float(ours[k]), v, rtol=1e-5,
                                    err_msg=f"metric {k}")
+
+
+def test_smpl_diverse_test_loss_matches_reference(rng):
+    """`calc_loss` (`train_diffusion_smpl.py:262-379`): the diverse-sample
+    test loss — 16 mean terms + 16 per-clip-min-over-samples `_min`
+    diagnostics, with the future-velocity slice quirk (`[p+1:]-[p:-1]`,
+    unlike calc_val_loss)."""
+    from interdiff_tpu.train.losses import smpl_diverse_test_losses
+
+    N, T, B, nJ = 4, PAST + 25, 2, 22
+    args = SimpleNamespace(past_len=PAST, diverse_samples=N,
+                           weight_smplx_rot=1.0, weight_smplx_nonrot=0.2,
+                           weight_obj_rot=0.1, weight_obj_nonrot=0.2,
+                           weight_past=1.0, weight_v=0.2)
+    lit = ref_smpl.LitInteraction.__new__(ref_smpl.LitInteraction)
+    lit.args = args
+    body_pred = 0.5 * rng.standard_normal((N, T, B, 3 * nJ + 3)).astype(np.float32)
+    body_gt = 0.5 * rng.standard_normal((T, B, 3 * nJ + 3)).astype(np.float32)
+    obj_pred = 0.5 * rng.standard_normal((N, T, B, 6)).astype(np.float32)
+    obj_gt = 0.5 * rng.standard_normal((T, B, 6)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_loss, ref_dict, ref_weighted = lit.calc_loss(
+            torch.from_numpy(body_pred), torch.from_numpy(body_gt),
+            torch.from_numpy(obj_pred), torch.from_numpy(obj_gt), batch=None)
+
+    ours_loss, ours_dict, ours_weighted = smpl_diverse_test_losses(
+        jnp.asarray(body_pred.transpose(0, 2, 1, 3)),
+        jnp.asarray(body_gt.transpose(1, 0, 2)),
+        jnp.asarray(obj_pred.transpose(0, 2, 1, 3)),
+        jnp.asarray(obj_gt.transpose(1, 0, 2)), past_len=PAST,
+        weights=SmplLossWeights(smplx_rot=1.0, smplx_nonrot=0.2, obj_rot=0.1,
+                                obj_nonrot=0.2, past=1.0, v=0.2))
+    assert set(ref_dict) == set(ours_dict) and len(ref_dict) == 32
+    for k, v in ref_dict.items():
+        np.testing.assert_allclose(np.asarray(ours_dict[k]),
+                                   v.detach().numpy(), atol=2e-5,
+                                   err_msg=f"test-loss term {k}")
+    assert set(ref_weighted) == set(ours_weighted)
+    for k, v in ref_weighted.items():
+        np.testing.assert_allclose(np.asarray(ours_weighted[k]),
+                                   v.detach().numpy(), atol=2e-5,
+                                   err_msg=f"weighted {k}")
+    np.testing.assert_allclose(float(ours_loss), float(ref_loss), rtol=2e-5)
