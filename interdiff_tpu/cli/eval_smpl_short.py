@@ -212,8 +212,13 @@ def main():
         )
 
         seqs = load_eval_sequences(args.motion_path, smpl_models)
-        mesh_path = args.obj_mesh or find_object_mesh(args.motion_path,
-                                                      seqs[0].obj_name)
+        # auto-discover only for a single-category corpus — with mixed
+        # objects in the batch the right mesh is per-clip, so require an
+        # explicit --obj_mesh (point-sphere fallback otherwise)
+        cats = {s.obj_name for s in seqs}
+        mesh_path = args.obj_mesh or (
+            find_object_mesh(args.motion_path, seqs[0].obj_name)
+            if len(cats) == 1 else None)
         if mesh_path:
             from interdiff_tpu.cli.common import load_object_mesh
 
