@@ -28,6 +28,10 @@ def main():
     parser.add_argument("--past_len", type=int, default=10)
     parser.add_argument("--future_len", type=int, default=10)
     parser.add_argument("--ff_size", type=int, default=256)
+    parser.add_argument("--ema_decay", type=float, default=0.0,
+                        help=">0 keeps an EMA shadow of the params (rate = "
+                             "this value, e.g. 0.9999); validation scores "
+                             "the EMA weights and ckpt_ema/ stores them")
     parser.add_argument("--seed", type=int, default=233)
     parser.add_argument("--resume_checkpoint", default=None,
                         help="orbax ckpt dir to resume params from")
@@ -97,7 +101,8 @@ def main():
                              args=ocp.args.StandardRestore(params))
         print(f"resumed params from {args.resume_checkpoint} "
               f"@ step {mgr.latest_step()}")
-    state = TrainState.create(params, adamw(args.lr))
+    state = TrainState.create(params, adamw(args.lr),
+                              ema_rate=args.ema_decay)
     mesh = make_mesh()
     step = data_parallel_step(make_skeleton_train_step(model, diffusion), mesh)
 
@@ -105,6 +110,8 @@ def main():
 
     snapshot_sources(args.results_dir, ["interdiff_tpu.models.mdm_skeleton", "interdiff_tpu.train.trainer", "interdiff_tpu.train.losses", "interdiff_tpu.diffusion.gaussian"])
     ckpt = CheckpointManager(os.path.join(args.results_dir, "ckpt"))
+    ckpt_ema = (CheckpointManager(os.path.join(args.results_dir, "ckpt_ema"))
+                if args.ema_decay > 0 else None)
     logger = MetricsLogger(os.path.join(args.results_dir, "metrics.jsonl"))
 
     # validation = full inpainting sampling + metrics, like the reference's
@@ -183,16 +190,23 @@ def main():
             i += 1
         if (epoch + 1) % args.val_every == 0 or args.synthetic:
             key, k_val = jax.random.split(key)
+            val_params = (state.ema_params if state.ema_params is not None
+                          else state.params)
             val_metrics = run_validation(
-                state.params,
+                val_params,
                 batch_np_last if val_batch_np is None else val_batch_np,
                 k_val)
             logger.log(i, val_metrics, epoch=epoch, split="valid")
             print(f"epoch {epoch} val {val_metrics}")
             ckpt.save(i, jax.device_get(state.params),
                       val_loss=val_metrics["mpjpe_h"])
+            if ckpt_ema is not None:
+                ckpt_ema.save(i, jax.device_get(state.ema_params),
+                              val_loss=val_metrics["mpjpe_h"])
     prof.finish()
     ckpt.wait()
+    if ckpt_ema is not None:
+        ckpt_ema.wait()
     logger.close()
     print("done:", i, "steps")
 

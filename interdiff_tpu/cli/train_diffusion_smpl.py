@@ -39,6 +39,14 @@ def main():
                              "ships the loss-second-moment importance "
                              "sampler unwired — here it threads functional "
                              "state through TrainState")
+    parser.add_argument("--ema_decay", type=float, default=0.0,
+                        help=">0 keeps an EMA shadow of the params (rate = "
+                             "this value, e.g. 0.9999), updated inside the "
+                             "jitted step; validation scores the EMA weights "
+                             "and ckpt_ema/ stores them as a flat param save "
+                             "loadable by every eval CLI. The reference "
+                             "ships `update_ema` (diffusion/nn.py:56) but "
+                             "never calls it from a trainer")
     parser.add_argument("--seed", type=int, default=233)
     parser.add_argument("--resume_checkpoint", default=None,
                         help="orbax ckpt dir to resume params from")
@@ -124,7 +132,8 @@ def main():
         schedule_sampler = LossSecondMomentResampler(diffusion.num_timesteps)
         sampler_state = schedule_sampler.init_state()
     state = TrainState.create(params, adamw(args.lr),
-                              sampler_state=sampler_state)
+                              sampler_state=sampler_state,
+                              ema_rate=args.ema_decay)
     mesh = make_mesh()
     step = data_parallel_step(
         make_smpl_train_step(model, diffusion,
@@ -134,6 +143,8 @@ def main():
 
     snapshot_sources(args.results_dir, ["interdiff_tpu.models.mdm_smpl", "interdiff_tpu.train.trainer", "interdiff_tpu.train.losses", "interdiff_tpu.diffusion.gaussian"])
     ckpt = CheckpointManager(os.path.join(args.results_dir, "ckpt"))
+    ckpt_ema = (CheckpointManager(os.path.join(args.results_dir, "ckpt_ema"))
+                if args.ema_decay > 0 else None)
     logger = MetricsLogger(os.path.join(args.results_dir, "metrics.jsonl"))
     key = jax.random.PRNGKey(args.seed)
 
@@ -267,14 +278,23 @@ def main():
             i += 1
         if (epoch + 1) % args.val_every == 0 or args.synthetic:
             key, k_val = jax.random.split(key)
+            # with EMA on, validation (and best-ckpt selection) scores the
+            # shadow weights — they are the serving weights
+            val_params = (state.ema_params if state.ema_params is not None
+                          else state.params)
             val_loss, val_terms = run_validation(
-                state.params,
+                val_params,
                 batch_np if val_batch_np is None else val_batch_np, k_val)
             logger.log(i, {"val_loss": val_loss, **val_terms}, epoch=epoch)
             print(f"epoch {epoch} val_loss {val_loss:.4f}")
             ckpt.save(i, jax.device_get(state.params), val_loss=val_loss)
+            if ckpt_ema is not None:
+                ckpt_ema.save(i, jax.device_get(state.ema_params),
+                              val_loss=val_loss)
     prof.finish()
     ckpt.wait()
+    if ckpt_ema is not None:
+        ckpt_ema.wait()
     logger.close()
     print("done:", i, "steps")
 

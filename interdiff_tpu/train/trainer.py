@@ -30,7 +30,8 @@ from interdiff_tpu.train.losses import (
 
 @struct.dataclass
 class TrainState:
-    """Minimal train state (params + optax [+ schedule-sampler state])."""
+    """Minimal train state (params + optax [+ schedule-sampler state]
+    [+ EMA shadow params])."""
 
     step: jax.Array
     params: Any
@@ -39,18 +40,34 @@ class TrainState:
     # LossSecondMomentState when the loss-aware schedule sampler is active
     # (`diffusion/resample.py`), None under the uniform default
     sampler_state: Any = None
+    # EMA shadow of ``params`` when ``ema_rate > 0`` — the reference ships
+    # `update_ema` (`diffusion/nn.py:56` upstream) but never calls it from
+    # any trainer; here it is wired as functional state updated inside the
+    # jitted step (replicated under `data_parallel_step`, so every host
+    # sees the same shadow)
+    ema_params: Any = None
+    ema_rate: float = struct.field(pytree_node=False, default=0.0)
 
     @classmethod
-    def create(cls, params, tx, *, sampler_state=None):
+    def create(cls, params, tx, *, sampler_state=None, ema_rate: float = 0.0):
+        # the shadow must be a distinct buffer — aliasing `params` would make
+        # donation under `data_parallel_step` donate the same buffer twice
+        ema = (jax.tree.map(jnp.copy, params) if ema_rate > 0.0 else None)
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    opt_state=tx.init(params), tx=tx,
-                   sampler_state=sampler_state)
+                   sampler_state=sampler_state,
+                   ema_params=ema, ema_rate=ema_rate)
 
     def apply_gradients(self, grads):
+        from interdiff_tpu.diffusion.nn import update_ema
+
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
-        return self.replace(step=self.step + 1,
-                            params=optax.apply_updates(self.params, updates),
-                            opt_state=new_opt)
+        new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if new_ema is not None:  # structural (trace-time) switch
+            new_ema = update_ema(new_ema, new_params, rate=self.ema_rate)
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt, ema_params=new_ema)
 
 
 def adamw(lr: float = 3e-4, weight_decay: float = 0.0

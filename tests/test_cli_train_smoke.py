@@ -59,6 +59,35 @@ def test_train_diffusion_smpl_val_diverse(monkeypatch, tmp_path, capsys):
     assert val["body_rot_future_min"] <= val["body_rot_future"] + 1e-6
 
 
+def test_train_diffusion_smpl_ema(monkeypatch, tmp_path, capsys):
+    """--ema_decay writes a second flat param save under ckpt_ema/ that the
+    eval CLIs can load like any orbax checkpoint."""
+    from interdiff_tpu.cli.train_diffusion_smpl import main
+
+    _run(main, ["--synthetic", "2", "--epochs", "1", "--batch_size", "8",
+                "--use_pointnet2", "0", "--embedding_dim", "32",
+                "--ff_size", "64", "--num_layers", "2", "--val_every", "1",
+                "--val_respacing", "5", "--ema_decay", "0.5",
+                "--results_dir", str(tmp_path)], monkeypatch)
+    capsys.readouterr()
+    _check_run_dir(str(tmp_path))
+    assert os.path.isdir(os.path.join(tmp_path, "ckpt_ema"))
+
+    import orbax.checkpoint as ocp
+
+    raw = ocp.CheckpointManager(os.path.join(tmp_path, "ckpt"))
+    ema = ocp.CheckpointManager(os.path.join(tmp_path, "ckpt_ema"))
+    assert ema.latest_step() == raw.latest_step()
+    p_raw = raw.restore(raw.latest_step())
+    p_ema = ema.restore(ema.latest_step())
+    import jax
+
+    leaves_r, leaves_e = jax.tree.leaves(p_raw), jax.tree.leaves(p_ema)
+    assert len(leaves_r) == len(leaves_e)
+    assert any(np.abs(np.asarray(r) - np.asarray(e)).max() > 1e-7
+               for r, e in zip(leaves_r, leaves_e))
+
+
 def test_train_diffusion_skeleton_synthetic(monkeypatch, tmp_path, capsys):
     from interdiff_tpu.cli.train_diffusion_skeleton import main
 

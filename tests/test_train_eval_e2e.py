@@ -154,6 +154,48 @@ def test_smpl_train_step_loss_aware_sampler(rng):
         assert np.abs(w - 1.0 / diffusion.num_timesteps).max() > 1e-6
 
 
+def test_smpl_train_step_ema(rng):
+    """EMA shadow params (the reference ships `update_ema` unused,
+    `diffusion/nn.py:56` upstream): updated inside the sharded jitted step,
+    exactly ema <- ema*rate + params*(1-rate) against a hand recursion."""
+    model = MDMSmpl(embed_dim=32, num_heads=4, ff_size=32, num_layers=4,
+                    past_len=3, future_len=4, use_pointnet2=False)
+    diffusion = _tiny_diffusion()
+    T = 7
+    batch_np = next(synthetic_smpl_batches(
+        np.random.default_rng(0), batch_size=8, seq_len=T, num_points=16))
+    keep = ("body_pose", "body_trans", "obj_angles", "obj_trans",
+            "obj_points")
+    batch = {k: jnp.asarray(batch_np[k]) for k in keep}
+
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, T, 144)),
+                        jnp.zeros((2, 16, 6)), jnp.zeros((2,), jnp.int32),
+                        method=MDMSmpl.init_forward)
+    rate = 0.5  # fast-moving so two steps separate ema from both endpoints
+    state = TrainState.create(params, adamw(1e-3), ema_rate=rate)
+    assert state.ema_params is not None
+    mesh = make_mesh()
+    step = data_parallel_step(make_smpl_train_step(model, diffusion), mesh)
+    batch = step.place_batch(batch)
+
+    expect = jax.device_get(params)
+    for i in range(2):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+        p = jax.device_get(state.params)
+        expect = jax.tree.map(lambda e, q: e * rate + q * (1 - rate),
+                              expect, p)
+    got = jax.device_get(state.ema_params)
+    flat_g, flat_e = jax.tree.leaves(got), jax.tree.leaves(expect)
+    for g, e in zip(flat_g, flat_e):
+        np.testing.assert_allclose(g, e, rtol=1e-5, atol=1e-6)
+    # the shadow genuinely lags the raw params
+    deltas = [np.abs(g - p).max() for g, p in
+              zip(flat_g, jax.tree.leaves(jax.device_get(state.params)))]
+    assert max(deltas) > 1e-6
+    # ema off by default -> no shadow in the pytree
+    assert TrainState.create(params, adamw(1e-3)).ema_params is None
+
+
 def test_correction_skeleton_train_step(rng):
     from interdiff_tpu.models.correction import ObjProjectorSkeleton
 
