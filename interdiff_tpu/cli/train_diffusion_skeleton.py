@@ -42,6 +42,12 @@ def main():
                         help="timestep respacing for the validation sampler "
                              "('' = the faithful full schedule; e.g. '25' "
                              "for fast smoke validation)")
+    parser.add_argument("--render_interval", type=int, default=0,
+                        help="render a pred-vs-gt skeleton gif of validation "
+                             "sample 0 every N epochs into "
+                             "<results_dir>/render (the reference renders "
+                             "during validation, "
+                             "`train_diffusion_skeleton.py:298-322`)")
     parser.add_argument("--config", default=None,
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
     from interdiff_tpu.cli.common import add_profiler_args
@@ -137,7 +143,23 @@ def main():
             pred["body"], jnp.asarray(batch["skeleton"]), pred["obj"],
             jnp.asarray(batch["obj_points"]), pred["pose"],
             jnp.asarray(batch["poses"]), start=args.past_len)
-        return {k: float(v) for k, v in m.items()}
+        return {k: float(v) for k, v in m.items()}, pred
+
+    def render_validation(pred, batch, tag):
+        # validation-time gif, the reference's render behavior
+        # (`train_diffusion_skeleton.py:298-322`): sample 0, pred overlaid
+        # on gt through the matplotlib skeleton renderer
+        from interdiff_tpu.viz.skeleton_viz import visualize_skeleton
+
+        rdir = os.path.join(args.results_dir, "render")
+        os.makedirs(rdir, exist_ok=True)
+        path = os.path.join(rdir, f"{tag}.gif")
+        visualize_skeleton(
+            np.asarray(batch["skeleton"][0]),
+            np.asarray(batch["obj_points"][0]), path,
+            pred=np.asarray(pred["body"][0]),
+            obj_pred=np.asarray(pred["obj"][0]), past_len=args.past_len)
+        print("rendered", path)
 
     key = jax.random.PRNGKey(args.seed)
 
@@ -192,10 +214,8 @@ def main():
             key, k_val = jax.random.split(key)
             val_params = (state.ema_params if state.ema_params is not None
                           else state.params)
-            val_metrics = run_validation(
-                val_params,
-                batch_np_last if val_batch_np is None else val_batch_np,
-                k_val)
+            val_b = batch_np_last if val_batch_np is None else val_batch_np
+            val_metrics, val_pred = run_validation(val_params, val_b, k_val)
             logger.log(i, val_metrics, epoch=epoch, split="valid")
             print(f"epoch {epoch} val {val_metrics}")
             ckpt.save(i, jax.device_get(state.params),
@@ -203,6 +223,10 @@ def main():
             if ckpt_ema is not None:
                 ckpt_ema.save(i, jax.device_get(state.ema_params),
                               val_loss=val_metrics["mpjpe_h"])
+            if args.render_interval and (
+                    (epoch + 1) % args.render_interval == 0
+                    or args.synthetic):
+                render_validation(val_pred, val_b, f"epoch{epoch}")
     prof.finish()
     ckpt.wait()
     if ckpt_ema is not None:

@@ -66,6 +66,13 @@ def main():
                         help="timestep respacing for the validation sampler "
                              "('' = the faithful full schedule; e.g. '25' "
                              "for fast smoke validation)")
+    parser.add_argument("--render_interval", type=int, default=0,
+                        help="render a 4-view mesh gif of validation sample "
+                             "0 every N validations into "
+                             "<results_dir>/render — the reference renders "
+                             "gifs during validation every render_interval "
+                             "(`train_diffusion_smpl.py:411-413,454-511`); "
+                             "works under --synthetic via the stand-in body")
     parser.add_argument("--config", default=None,
                         help="YAML path config (BEHAVE.yml/HOI.yml style)")
     from interdiff_tpu.cli.common import add_profiler_args
@@ -252,6 +259,50 @@ def main():
         except Exception as e:  # no Date03* sequences in a partial corpus
             print("validation falls back to the last train batch:", e)
 
+    render_validation = None
+    if args.render_interval:
+        # validation-time gif rendering, the reference's render_interval
+        # behavior (`train_diffusion_smpl.py:411-413,454-511`): sample 0 of
+        # the validation batch through the val sampler, FK, seam smoothing,
+        # 4-yaw-view mesh gif
+        from interdiff_tpu.cli.common import synthetic_smpl_body
+        from interdiff_tpu.eval.metrics import smooth_seam
+        from interdiff_tpu.eval.smpl_short import postprocess_sample
+        from interdiff_tpu.geometry.rotations import axis_angle_to_matrix
+        from interdiff_tpu.viz.mesh_viz import visualize_body_obj
+
+        render_smpl = (synthetic_smpl_body(np.random.default_rng(0))
+                       if args.synthetic else smpl_models["male"])
+
+        @jax.jit
+        def _render_sample(params, key, gt, pts6, hand, betas):
+            x = val_sampler(params, key, gt, pts6, hand, betas)
+            out = postprocess_sample(eval_cfg, render_smpl, x, hand, betas)
+            return (smooth_seam(out["verts"], args.future_len),
+                    smooth_seam(out["obj_pred"], args.future_len))
+
+        def render_validation(params, b, key, tag):
+            one = lambda a: jnp.asarray(a)[:1]  # noqa: E731 — 1-row graph
+            gt = smpl_gt_from_raw(one(b["body_pose"])[..., :66],
+                                  one(b["body_trans"]),
+                                  one(b["obj_angles"]), one(b["obj_trans"]))
+            betas = (one(b["body_betas"]) if "body_betas" in b
+                     else jnp.zeros(gt.shape[:2] + (10,)))
+            verts, obj = _render_sample(
+                params, key, gt, one(b["obj_points"])[..., :6],
+                one(b["body_pose"])[..., 66:], betas)
+            rot = np.asarray(axis_angle_to_matrix(obj[0, :, :3]))
+            tpl = np.asarray(b["obj_points"])[0, :, :3]
+            obj_verts = np.einsum("tij,pj->tpi", rot, tpl) \
+                + np.asarray(obj[0, :, None, 3:])
+            rdir = os.path.join(args.results_dir, "render")
+            os.makedirs(rdir, exist_ok=True)
+            path = os.path.join(rdir, f"{tag}.gif")
+            visualize_body_obj(
+                np.asarray(verts[0]), np.asarray(render_smpl.faces),
+                obj_verts, None, past_len=args.past_len, save_path=path)
+            print("rendered", path)
+
     keep = ("body_pose", "body_trans", "obj_angles", "obj_trans",
             "obj_points")
     from interdiff_tpu.cli.common import TrainProfiler
@@ -291,6 +342,14 @@ def main():
             if ckpt_ema is not None:
                 ckpt_ema.save(i, jax.device_get(state.ema_params),
                               val_loss=val_loss)
+            if render_validation is not None and (
+                    (epoch + 1) % args.render_interval == 0
+                    or args.synthetic):
+                key, k_render = jax.random.split(key)
+                render_validation(
+                    val_params,
+                    batch_np if val_batch_np is None else val_batch_np,
+                    k_render, f"epoch{epoch}")
     prof.finish()
     ckpt.wait()
     if ckpt_ema is not None:

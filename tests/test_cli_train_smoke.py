@@ -61,17 +61,21 @@ def test_train_diffusion_smpl_val_diverse(monkeypatch, tmp_path, capsys):
 
 def test_train_diffusion_smpl_ema(monkeypatch, tmp_path, capsys):
     """--ema_decay writes a second flat param save under ckpt_ema/ that the
-    eval CLIs can load like any orbax checkpoint."""
+    eval CLIs can load like any orbax checkpoint; --render_interval renders
+    a validation-sample mesh gif (the reference's render_interval)."""
     from interdiff_tpu.cli.train_diffusion_smpl import main
 
     _run(main, ["--synthetic", "2", "--epochs", "1", "--batch_size", "8",
                 "--use_pointnet2", "0", "--embedding_dim", "32",
                 "--ff_size", "64", "--num_layers", "2", "--val_every", "1",
                 "--val_respacing", "5", "--ema_decay", "0.5",
+                "--render_interval", "1",
                 "--results_dir", str(tmp_path)], monkeypatch)
     capsys.readouterr()
     _check_run_dir(str(tmp_path))
     assert os.path.isdir(os.path.join(tmp_path, "ckpt_ema"))
+    gifs = os.listdir(os.path.join(tmp_path, "render"))
+    assert any(g.endswith(".gif") for g in gifs)
 
     import orbax.checkpoint as ocp
 
@@ -93,9 +97,12 @@ def test_train_diffusion_skeleton_synthetic(monkeypatch, tmp_path, capsys):
 
     _run(main, ["--synthetic", "2", "--epochs", "1", "--batch_size", "8",
                 "--ff_size", "32", "--val_every", "1",
+                "--render_interval", "1",
                 "--results_dir", str(tmp_path)], monkeypatch)
     assert "loss" in capsys.readouterr().out
     _check_run_dir(str(tmp_path))
+    gifs = os.listdir(os.path.join(tmp_path, "render"))
+    assert any(g.endswith(".gif") for g in gifs)
 
 
 def test_train_correction_smpl_synthetic(monkeypatch, tmp_path, capsys):
