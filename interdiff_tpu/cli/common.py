@@ -16,10 +16,24 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 
-def make_mesh(data_axis: str = "data"):
+def make_mesh(data_axis: str = "data", *, batch_size: "int | None" = None):
+    """1-D data mesh over the local devices.
+
+    ``batch_size``: when given, only the largest device count that divides
+    it is used — a global batch must shard evenly over the ``data`` axis,
+    and a small staged corpus (fit_batch_size) or an odd --batch_size would
+    otherwise crash at device_put with a divisibility error."""
     import jax
 
     devices = np.asarray(jax.devices())
+    if batch_size is not None:
+        n = len(devices)
+        while n > 1 and batch_size % n:
+            n -= 1
+        if n < len(devices):
+            print(f"batch {batch_size} not divisible by {len(devices)} "
+                  f"devices; data mesh uses {n}")
+        devices = devices[:n]
     return jax.sharding.Mesh(devices, (data_axis,))
 
 

@@ -68,7 +68,7 @@ def main():
         jax.random.PRNGKey(args.seed), jnp.asarray(ex["poses"][..., 3:7]),
         jnp.asarray(ex["poses"][..., :3]), jnp.asarray(ex["skeleton"]))
     state = CorrectionTrainState.create(variables, optax.adam(args.lr))
-    mesh = make_mesh()
+    mesh = make_mesh(batch_size=args.batch_size)
     step = data_parallel_step(
         make_correction_skeleton_train_step(projector), mesh,
         extra_args=2)

@@ -44,6 +44,14 @@ def main():
                         "fight reconstruction — scale them down")
     parser.add_argument("--w_penetration", type=float, default=None,
                         help="penetration loss weight (default: ref 0.1)")
+    parser.add_argument("--render_interval", type=int, default=0,
+                        help="render pred-vs-gt object-trajectory mesh gifs "
+                             "for sample 0 every N epochs into "
+                             "<results_dir>/render (the reference renders "
+                             "them during validation, "
+                             "`train_correction_smpl.py:192-259`); needs "
+                             "real data (body faces), ignored under "
+                             "--synthetic")
     from interdiff_tpu.cli.common import add_profiler_args
 
     add_profiler_args(parser)
@@ -85,7 +93,6 @@ def main():
     variables = projector.init(jax.random.PRNGKey(args.seed), obj9, markers,
                                contact)
     state = CorrectionTrainState.create(variables, optax.adam(args.lr))
-    mesh = make_mesh()
     weights = None
     if args.w_contact is not None or args.w_penetration is not None:
         from interdiff_tpu.train.losses_correction import (
@@ -98,12 +105,6 @@ def main():
             else args.w_contact,
             penetration=defaults.penetration if args.w_penetration is None
             else args.w_penetration)
-    # initialize (< epoch 10) and main phases compile separately — the
-    # mean-marker switch is structural (`train_correction_smpl.py:188`)
-    step_init = data_parallel_step(make_correction_smpl_train_step(
-        projector, weights=weights, initialize=True), mesh, extra_args=2)
-    step_main = data_parallel_step(make_correction_smpl_train_step(
-        projector, weights=weights, initialize=False), mesh, extra_args=2)
 
     from interdiff_tpu.cli.common import snapshot_sources
 
@@ -132,6 +133,16 @@ def main():
                             future_len=args.future_len, rng=rng)
         args.batch_size = fit_batch_size(len(_ds), args.batch_size)
 
+    # mesh AFTER the corpus-fitted batch size: the data axis must divide the
+    # global batch (fit_batch_size can shrink it on a small staged corpus)
+    mesh = make_mesh(batch_size=args.batch_size)
+    # initialize (< epoch 10) and main phases compile separately — the
+    # mean-marker switch is structural (`train_correction_smpl.py:188`)
+    step_init = data_parallel_step(make_correction_smpl_train_step(
+        projector, weights=weights, initialize=True), mesh, extra_args=2)
+    step_main = data_parallel_step(make_correction_smpl_train_step(
+        projector, weights=weights, initialize=False), mesh, extra_args=2)
+
     def epoch_batches():
         if args.synthetic:
             return synthetic_smpl_batches(
@@ -143,16 +154,61 @@ def main():
                               rng=rng)
 
     keep = ("obj_angles", "obj_trans", "markers", "human_verts", "obj_points")
+
+    render_correction = None
+    if args.render_interval and args.synthetic:
+        print("--render_interval needs real data (body faces); ignored "
+              "under --synthetic")
+    elif args.render_interval:
+        from interdiff_tpu.geometry.rotations import (
+            axis_angle_to_matrix,
+            matrix_to_rotation_6d,
+            rotation_6d_to_matrix,
+        )
+        from interdiff_tpu.viz.mesh_viz import visualize_body_obj
+
+        @jax.jit
+        def _project_one(params, batch_stats, obj_gt, markers, contact):
+            return projector.apply(
+                {"params": params, "batch_stats": batch_stats}, obj_gt,
+                markers, contact, initialize=False, train=False,
+                method=ObjProjectorSmpl.sample)
+
+        def render_correction(state, batch_np, epoch):
+            # pred-vs-gt object trajectories for clip 0, the reference's
+            # validation rendering (`train_correction_smpl.py:192-259`)
+            b = {k: jnp.asarray(batch_np[k])[:1] for k in keep}
+            markers = b["markers"]
+            contact = markers[:, args.past_len:, :, 6].sum(axis=1)
+            rot6d = matrix_to_rotation_6d(
+                axis_angle_to_matrix(b["obj_angles"]))
+            obj_gt = jnp.concatenate([rot6d, b["obj_trans"]], axis=-1)
+            obj_pred = _project_one(state.params, state.batch_stats, obj_gt,
+                                    markers[..., :3], contact)
+            body = np.asarray(b["human_verts"][0, :, :, :3])
+            faces = np.asarray(smpl_models["male"].faces)
+            tpl = np.asarray(b["obj_points"][0, :, :3])
+            rdir = os.path.join(args.results_dir, "render")
+            os.makedirs(rdir, exist_ok=True)
+            for tag, pose in (("pred", obj_pred), ("gt", obj_gt)):
+                rot = np.asarray(rotation_6d_to_matrix(pose[0, :, :6]))
+                obj_verts = np.einsum("tij,pj->tpi", rot, tpl) \
+                    + np.asarray(pose[0, :, None, 6:])
+                path = os.path.join(rdir, f"epoch{epoch}_{tag}.gif")
+                visualize_body_obj(body, faces, obj_verts, None,
+                                   past_len=args.past_len, save_path=path)
+                print("rendered", path)
+
     from interdiff_tpu.cli.common import TrainProfiler
 
     prof = TrainProfiler(args, args.results_dir)
     i = 0
     for epoch in range(args.epochs if not args.synthetic else 1):
         step = step_init if epoch < 10 and not args.synthetic else step_main
-        for batch in epoch_batches():
+        for batch_np_last in epoch_batches():
             with prof.section("batch_place"):
                 batch = step.place_batch(
-                    {k: jnp.asarray(batch[k]) for k in keep})
+                    {k: jnp.asarray(batch_np_last[k]) for k in keep})
             key, k_step = jax.random.split(key)
             with prof.section("train_step"):
                 state, metrics = step(state, batch, k_step,
@@ -166,6 +222,9 @@ def main():
                 {"params": state.params,
                  "batch_stats": state.batch_stats}),
                       val_loss=float(metrics["loss"]))
+        if render_correction is not None and (
+                (epoch + 1) % args.render_interval == 0):
+            render_correction(state, batch_np_last, epoch)
     prof.finish()
     ckpt.wait()
     logger.close()

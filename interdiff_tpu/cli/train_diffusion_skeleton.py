@@ -109,7 +109,7 @@ def main():
               f"@ step {mgr.latest_step()}")
     state = TrainState.create(params, adamw(args.lr),
                               ema_rate=args.ema_decay)
-    mesh = make_mesh()
+    mesh = make_mesh(batch_size=args.batch_size)
     step = data_parallel_step(make_skeleton_train_step(model, diffusion), mesh)
 
     from interdiff_tpu.cli.common import snapshot_sources

@@ -141,7 +141,7 @@ def main():
     state = TrainState.create(params, adamw(args.lr),
                               sampler_state=sampler_state,
                               ema_rate=args.ema_decay)
-    mesh = make_mesh()
+    mesh = make_mesh(batch_size=args.batch_size)
     step = data_parallel_step(
         make_smpl_train_step(model, diffusion,
                              schedule_sampler=schedule_sampler), mesh)

@@ -168,3 +168,30 @@ def test_optimization_cli_dataset_mode(staged, monkeypatch, tmp_path, capsys):
     assert summary["mode"] == "dataset" and summary["clips"] == 1
     assert np.isfinite(summary["penetrate_before"])
     assert np.isfinite(summary["penetrate_after"])
+
+
+def test_train_correction_render(staged, monkeypatch, tmp_path, capsys):
+    """--render_interval on the correction trainer: pred-vs-gt object
+    trajectory gifs through the mesh renderer (the reference renders them
+    during validation, `train_correction_smpl.py:192-259`)."""
+    import sys
+
+    root, smpl_models = staged
+    from interdiff_tpu.cli.train_correction_smpl import main
+
+    # order-independent: stage the contact labels the correction loader needs
+    seq_dir = os.path.join(root, "sequence", "Date01_Sub01_backpack_back")
+    if not os.path.exists(os.path.join(seq_dir, "contact.npz")):
+        from interdiff_tpu.data.prepare_behave import prepare_sequence
+
+        prepare_sequence(seq_dir, REF_OBJ, smpl_models, num_samples=256)
+
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--motion_path", os.path.join(root, "sequence"),
+        "--synthetic_body", "--epochs", "1", "--batch_size", "4",
+        "--render_interval", "1", "--results_dir", str(tmp_path)])
+    main()
+    capsys.readouterr()
+    gifs = os.listdir(os.path.join(tmp_path, "render"))
+    assert any(g.endswith("_pred.gif") for g in gifs)
+    assert any(g.endswith("_gt.gif") for g in gifs)
