@@ -252,23 +252,45 @@ def maybe_reference_mdm(path: Optional[str], track: str):
     """
     if not path or not os.path.isfile(path):
         return None
-    if track == "smpl":
-        from interdiff_tpu.utils.checkpoint import mdm_smpl_from_checkpoint
+    from interdiff_tpu.utils.checkpoint import (
+        mdm_skeleton_from_checkpoint,
+        mdm_smpl_from_checkpoint,
+    )
 
-        model, variables, _ = mdm_smpl_from_checkpoint(path)
-        return model, variables
-    from interdiff_tpu.models.mdm_skeleton import MDMSkeleton
-    from interdiff_tpu.utils.checkpoint import load_mdm_skeleton
-
-    variables, hp = load_mdm_skeleton(path)
-    model = MDMSkeleton(
-        embed_dim=int(hp.get("embedding_dim", 256)),
-        num_heads=int(hp.get("num_heads", 4)),
-        ff_size=int(hp.get("ff_size", 256)),
-        num_layers=int(hp.get("num_layers", 8)),
-        past_len=int(hp.get("past_len", 10)),
-        latent_usage=hp.get("latent_usage", "memory"))
+    loader = (mdm_smpl_from_checkpoint if track == "smpl"
+              else mdm_skeleton_from_checkpoint)
+    model, variables, _ = loader(path)
     return model, variables
+
+
+def load_mdm(diffusion_ckpt: Optional[str], track: str, model,
+             init_fn, *, past_len: int, future_len: int):
+    """One load-or-init path for every eval CLI's ``--diffusion_ckpt``:
+    reference Lightning ``.ckpt`` file (parity-mode module from the embedded
+    hyper_parameters), orbax directory (restored into the CLI-built model),
+    or no checkpoint (``init_fn()`` fresh params).  Returns (model, params).
+
+    A reference ``.ckpt`` REPLACES the CLI-built module, so its embedded
+    window sizes are validated against the CLI's --past_len/--future_len —
+    the surrounding pipeline (dataset windows, inpaint masks, eval config)
+    is built from the flags, and a silent mismatch would run to completion
+    with inconsistent conditioning and meaningless metrics."""
+    ref = maybe_reference_mdm(diffusion_ckpt, track)
+    if ref is None:
+        params = init_fn()
+        if diffusion_ckpt:
+            params = restore_params(diffusion_ckpt, params)
+        return model, params
+    model, params = ref
+    ckpt_future = getattr(model, "future_len", future_len)  # skeleton MDM
+    if model.past_len != past_len or ckpt_future != future_len:
+        raise ValueError(
+            f"--diffusion_ckpt {diffusion_ckpt} embeds past_len="
+            f"{model.past_len}, future_len={ckpt_future}, but the CLI runs "
+            f"with --past_len {past_len} --future_len {future_len}; pass "
+            "matching window flags (dataset windows and inpaint masks are "
+            "built from them)")
+    return model, params
 
 
 def load_correction_variables(path: str, kind: str = "smpl"):

@@ -84,22 +84,19 @@ def main():
     model = track.build_model()
     diffusion = track.diffusion.build()
 
-    from interdiff_tpu.cli.common import maybe_reference_mdm
+    from interdiff_tpu.cli.common import load_mdm
 
-    ref_mdm = maybe_reference_mdm(args.diffusion_ckpt, "skeleton")
-    if ref_mdm is not None:  # reference Lightning .ckpt (parity mode)
-        model, params = ref_mdm
-    else:
+    def _init():
         ex = next(synthetic_skeleton_batches(rng, batch_size=2, seq_len=T))
-        params = model.init(
+        return model.init(
             jax.random.PRNGKey(0), jnp.asarray(ex["skeleton"]),
             jnp.asarray(ex["obj_points"]), jnp.asarray(ex["poses"]),
             jnp.asarray(ex["zero_pose_obj"]), jnp.zeros((2,), jnp.int32),
             method=MDMSkeleton.init_forward)
-        if args.diffusion_ckpt:
-            from interdiff_tpu.cli.common import restore_params
 
-            params = restore_params(args.diffusion_ckpt, params)
+    model, params = load_mdm(args.diffusion_ckpt, "skeleton", model, _init,
+                             past_len=args.past_len,
+                             future_len=args.future_len)
 
     projector = projector_params = None
     if args.mode == "correction":

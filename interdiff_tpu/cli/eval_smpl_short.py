@@ -123,20 +123,15 @@ def main():
         smpl = smpl_models["male"]  # eval uses male for all (`:148`)
 
     T = cfg.seq_len
-    from interdiff_tpu.cli.common import maybe_reference_mdm
+    from interdiff_tpu.cli.common import load_mdm
 
-    ref_mdm = maybe_reference_mdm(args.diffusion_ckpt, "smpl")
-    if ref_mdm is not None:  # reference Lightning .ckpt (parity mode)
-        model, params = ref_mdm
-    else:
-        params = model.init(
+    model, params = load_mdm(
+        args.diffusion_ckpt, "smpl", model,
+        lambda: model.init(
             jax.random.PRNGKey(0), jnp.zeros((2, T, 144)),
             jnp.zeros((2, 256, 6)), jnp.zeros((2,), jnp.int32),
-            method=MDMSmpl.init_forward)
-        if args.diffusion_ckpt:
-            from interdiff_tpu.cli.common import restore_params
-
-            params = restore_params(args.diffusion_ckpt, params)
+            method=MDMSmpl.init_forward),
+        past_len=args.past_len, future_len=args.future_len)
 
     projector = projector_params = None
     if args.mode == "correction":

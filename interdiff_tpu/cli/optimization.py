@@ -280,18 +280,15 @@ def _run_from_samples(args):
                                 rng=rng, shuffle=False)
 
     T = cfg.seq_len
-    from interdiff_tpu.cli.common import maybe_reference_mdm
+    from interdiff_tpu.cli.common import load_mdm
 
-    ref_mdm = maybe_reference_mdm(args.diffusion_ckpt, "smpl")
-    if ref_mdm is not None:  # reference Lightning .ckpt (parity mode)
-        model, params = ref_mdm
-    else:
-        params = model.init(
+    model, params = load_mdm(
+        args.diffusion_ckpt, "smpl", model,
+        lambda: model.init(
             jax.random.PRNGKey(0), jnp.zeros((2, T, 144)),
             jnp.zeros((2, 256, 6)), jnp.zeros((2,), jnp.int32),
-            method=MDMSmpl.init_forward)
-        if args.diffusion_ckpt:
-            params = restore_params(args.diffusion_ckpt, params)
+            method=MDMSmpl.init_forward),
+        past_len=args.past_len, future_len=args.future_len)
 
     sample = jax.jit(make_sampler(cfg, model, diffusion, smpl=smpl,
                                   use_correction=False))

@@ -44,7 +44,7 @@ def main():
                              "for fast smoke validation)")
     parser.add_argument("--render_interval", type=int, default=0,
                         help="render a pred-vs-gt skeleton gif of validation "
-                             "sample 0 every N epochs into "
+                             "sample 0 every N validations into "
                              "<results_dir>/render (the reference renders "
                              "during validation, "
                              "`train_diffusion_skeleton.py:298-322`)")
@@ -192,6 +192,7 @@ def main():
     from interdiff_tpu.cli.common import TrainProfiler
 
     prof = TrainProfiler(args, args.results_dir)
+    n_vals = 0  # render cadence counts validations, not epochs
     for epoch in range(args.epochs if not args.synthetic else 1):
         from interdiff_tpu.utils.prefetch import device_prefetch, threaded_batches
 
@@ -223,8 +224,9 @@ def main():
             if ckpt_ema is not None:
                 ckpt_ema.save(i, jax.device_get(state.ema_params),
                               val_loss=val_metrics["mpjpe_h"])
+            n_vals += 1
             if args.render_interval and (
-                    (epoch + 1) % args.render_interval == 0
+                    n_vals % args.render_interval == 0
                     or args.synthetic):
                 render_validation(val_pred, val_b, f"epoch{epoch}")
     prof.finish()

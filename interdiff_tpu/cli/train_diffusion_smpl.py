@@ -309,6 +309,7 @@ def main():
 
     prof = TrainProfiler(args, args.results_dir)
     i = 0
+    n_vals = 0  # render cadence counts validations, not epochs
     for epoch in range(args.epochs if not args.synthetic else 1):
         from interdiff_tpu.utils.prefetch import threaded_batches
 
@@ -342,8 +343,9 @@ def main():
             if ckpt_ema is not None:
                 ckpt_ema.save(i, jax.device_get(state.ema_params),
                               val_loss=val_loss)
+            n_vals += 1
             if render_validation is not None and (
-                    (epoch + 1) % args.render_interval == 0
+                    n_vals % args.render_interval == 0
                     or args.synthetic):
                 key, k_render = jax.random.split(key)
                 render_validation(

@@ -82,15 +82,21 @@ def rollout(
     full = x
     idx = pad_idx(cfg)
 
+    # chunk k >= 2 is sampled in chunk (k-1)'s canonical frame, so its
+    # global placement is the SUM of every centroid subtracted so far, not
+    # just the last one (each recanonicalize_state sees coordinates that
+    # were already shifted by all previous recanonicalizations)
+    offset = jnp.zeros((x.shape[0], 3), x.dtype)
     for _ in range(num_chunks):
         pelvis = pelvis_fn(x, hand_pose, betas)
         nb = recanonicalize_state(x, pelvis, cfg)
+        offset = offset + nb["centroid"]
         # hands/betas for the new window: shift the window like the state
         hand_pose = hand_pose[:, idx]
         betas = betas[:, idx]
         key, kc = jax.random.split(key)
         x = sample_fn(kc, nb["gt"], obj_points6, hand_pose, betas)
-        x_global = denormalize_chunk(x, nb["centroid"], cfg)
+        x_global = denormalize_chunk(x, offset, cfg)
         full = jnp.concatenate([full, x_global[:, cfg.past_len :]], axis=1)
         if seam_smooth:
             full = smooth_seam(full, cfg.future_len)

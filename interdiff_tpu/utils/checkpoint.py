@@ -333,6 +333,23 @@ def load_mdm_skeleton(path: str):
         latent_usage=hp.get("latent_usage", "memory")), hp
 
 
+def mdm_skeleton_from_checkpoint(path: str):
+    """-> (MDMSkeleton module, flax variables, hparams): the skeleton-track
+    twin of :func:`mdm_smpl_from_checkpoint` (module built from the embedded
+    hyper_parameters)."""
+    from interdiff_tpu.models.mdm_skeleton import MDMSkeleton
+
+    variables, hp = load_mdm_skeleton(path)
+    model = MDMSkeleton(
+        embed_dim=int(hp.get("embedding_dim", 256)),
+        num_heads=int(hp.get("num_heads", 4)),
+        ff_size=int(hp.get("ff_size", 256)),
+        num_layers=int(hp.get("num_layers", 8)),
+        past_len=int(hp.get("past_len", 10)),
+        latent_usage=hp.get("latent_usage", "memory"))
+    return model, variables, hp
+
+
 def load_correction_smpl(path: str = "/root/reference/interdiff/checkpoints/"
                                       "correction.ckpt"):
     """-> (flax variables, hparams) for :class:`ObjProjectorSmpl`."""

@@ -148,3 +148,25 @@ def test_eval_skeleton_mesh_devices(monkeypatch, capsys):
                 "--mesh_devices", "2"], monkeypatch)
     out = capsys.readouterr().out
     assert "mpjpe_h" in out and "rotation_error" in out
+
+
+def test_load_mdm_window_mismatch_raises(monkeypatch):
+    """A reference .ckpt replaces the CLI-built module, so its embedded
+    past/future window must match the CLI flags — a silent mismatch would
+    run the eval with inconsistent conditioning (dataset windows and
+    inpaint masks come from the flags)."""
+    import pytest
+
+    from interdiff_tpu.cli import common
+    from interdiff_tpu.models.mdm_smpl import MDMSmpl
+
+    ckpt_model = MDMSmpl(past_len=10, future_len=25)
+    monkeypatch.setattr(common, "maybe_reference_mdm",
+                        lambda path, track: (ckpt_model, {"params": {}}))
+    # matching windows pass through
+    m, p = common.load_mdm("x.ckpt", "smpl", None, lambda: None,
+                           past_len=10, future_len=25)
+    assert m is ckpt_model
+    with pytest.raises(ValueError, match="past_len"):
+        common.load_mdm("x.ckpt", "smpl", None, lambda: None,
+                        past_len=20, future_len=15)

@@ -113,6 +113,49 @@ def test_rollout_extends_trajectory(rng):
     assert np.isfinite(np.asarray(full)).all()
 
 
+def test_rollout_global_frame_accumulates_centroids(rng):
+    """Chunk k >= 2 is sampled in chunk (k-1)'s canonical frame; its global
+    placement needs the SUM of all centroids subtracted so far.  A perfect
+    constant-velocity sampler must produce a globally straight trajectory —
+    before the fix, chunks >= 2 were offset by the earlier centroids
+    (translation came out [0..7, 5,6,7, 5,6,7] instead of [0..13])."""
+    cfg = SmplEvalConfig(past_len=2, future_len=3)
+    B, T, D = 1, cfg.seq_len, cfg.smpl_dim + 3
+    v = jnp.asarray([1.0, 0.5, -0.25])
+
+    def stub_sampler(key, gt, pts, hand, betas):
+        # continue the past window's body/object velocity exactly
+        del key, pts, hand, betas
+        def extend(tr):
+            vel = tr[:, cfg.past_len - 1] - tr[:, cfg.past_len - 2]
+            steps = jnp.arange(1, cfg.future_len + 1, dtype=tr.dtype)
+            fut = tr[:, cfg.past_len - 1][:, None] \
+                + steps[None, :, None] * vel[:, None]
+            return jnp.concatenate([tr[:, :cfg.past_len], fut], axis=1)
+        body_tr = extend(gt[..., D - 3 : D])
+        obj_tr = extend(gt[..., D + 6 : D + 9])
+        x = jnp.zeros_like(gt)
+        x = x.at[..., D - 3 : D].set(body_tr)
+        return x.at[..., D + 6 : D + 9].set(obj_tr)
+
+    def pelvis_fn(x, hand, betas):  # pelvis rides the body translation
+        return x[..., D - 3 : D]
+
+    ramp = jnp.arange(T, dtype=jnp.float32)[None, :, None] * v
+    gt = jnp.zeros((B, T, 144))
+    gt = gt.at[..., D - 3 : D].set(ramp).at[..., D + 6 : D + 9].set(ramp)
+    full = rollout(stub_sampler, pelvis_fn, jax.random.PRNGKey(0), gt,
+                   jnp.zeros((B, 4, 6)), jnp.zeros((B, T, 90)),
+                   jnp.zeros((B, T, 10)), num_chunks=2, cfg=cfg,
+                   seam_smooth=False)
+    T_full = T + 2 * cfg.future_len
+    expect = np.arange(T_full, dtype=np.float32)[None, :, None] * np.asarray(v)
+    np.testing.assert_allclose(np.asarray(full[..., D - 3 : D]), expect,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(full[..., D + 6 : D + 9]), expect,
+                               atol=1e-5)
+
+
 def test_sampler_variants_and_memory_reuse(rng):
     """reuse_memory gives identical results to the fused path; ddim/plms
     variants run finite."""
