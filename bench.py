@@ -165,13 +165,16 @@ def measure_tpu():
         memory = enc(gt, obj_points)
         memory_t = tile_for_diverse_samples(memory, n_div)
         gt_t = tile_for_diverse_samples(gt, n_div)
+        # run the AOT executable directly: .lower().compile() does not
+        # populate the jit call cache, so going back through sample_tiled()
+        # would deserialize/compile the same program a second time
         compiled = sample_tiled.lower(key, gt_t, memory_t).compile()
-        sample_tiled(key, gt_t, memory_t).block_until_ready()  # warm
+        compiled(key, gt_t, memory_t).block_until_ready()  # warm
         n_rep = 5
         t0 = time.perf_counter()
         memory_t = tile_for_diverse_samples(enc(gt, obj_points), n_div)
         for i in range(n_rep):
-            out = sample_tiled(jax.random.fold_in(key, i), gt_t, memory_t)
+            out = compiled(jax.random.fold_in(key, i), gt_t, memory_t)
         out.block_until_ready()
         dt = time.perf_counter() - t0
         return Bt * n_rep / dt, _perf_fields(compiled, n_rep / dt)
@@ -196,22 +199,22 @@ def measure_tpu():
 
         memory = enc(gt, obj_points)
         compiled = sample_mem.lower(key, gt, memory).compile()
-        sample_mem(key, gt, memory).block_until_ready()  # warm
+        compiled(key, gt, memory).block_until_ready()  # warm (AOT direct)
         n_rep = 10
         t0 = time.perf_counter()
         memory = enc(gt, obj_points)
         for i in range(n_rep):
-            out = sample_mem(jax.random.fold_in(key, i), gt, memory)
+            out = compiled(jax.random.fold_in(key, i), gt, memory)
         out.block_until_ready()
         dt = time.perf_counter() - t0
         return B * n_rep / dt, _perf_fields(compiled, n_rep / dt)
 
     compiled = sample.lower(key, gt, obj_points).compile()
-    sample(key, gt, obj_points).block_until_ready()  # warm
+    compiled(key, gt, obj_points).block_until_ready()  # warm (AOT direct)
     n_rep = 5
     t0 = time.perf_counter()
     for i in range(n_rep):
-        out = sample(jax.random.fold_in(key, i), gt, obj_points)
+        out = compiled(jax.random.fold_in(key, i), gt, obj_points)
     out.block_until_ready()
     dt = time.perf_counter() - t0
     # sequences/sec on this one chip
@@ -389,14 +392,14 @@ def measure_tpu_correction() -> float:
     memory = enc(gt, obj_points6)
     compiled = sample.lower(params, key, gt, obj_points6, hand, betas,
                             memory).compile()
-    sample(params, key, gt, obj_points6, hand, betas,
-           memory).block_until_ready()  # warm
+    compiled(params, key, gt, obj_points6, hand, betas,
+             memory).block_until_ready()  # warm (AOT direct)
     n_rep = 5
     t0 = time.perf_counter()
     memory = enc(gt, obj_points6)
     for i in range(n_rep):
-        out = sample(params, jax.random.fold_in(key, i), gt, obj_points6,
-                     hand, betas, memory)
+        out = compiled(params, jax.random.fold_in(key, i), gt, obj_points6,
+                       hand, betas, memory)
     out.block_until_ready()
     dt = time.perf_counter() - t0
     return B * n_rep / dt, _perf_fields(compiled, n_rep / dt)
@@ -452,11 +455,11 @@ def measure_tpu_skeleton():
         tile_for_diverse_samples(a, n_div)
         for a in (body, obj, pose, zero_pose, memory, gt))
     key = jax.random.PRNGKey(1)
-    call = lambda k: sample(params, k, body_t, obj_t, pose_t, zero_t,  # noqa: E731
-                            mem_t, gt_t)
     compiled = sample.lower(params, key, body_t, obj_t, pose_t, zero_t,
                             mem_t, gt_t).compile()
-    call(key).block_until_ready()  # warm
+    call = lambda k: compiled(params, k, body_t, obj_t, pose_t, zero_t,  # noqa: E731
+                              mem_t, gt_t)
+    call(key).block_until_ready()  # warm (AOT direct)
     n_rep = 5
     t0 = time.perf_counter()
     memory, gt = enc(params, body, obj, pose, zero_pose)
@@ -512,14 +515,16 @@ def measure_tpu_train() -> float:
     step = jax.jit(make_smpl_train_step(model, diffusion), donate_argnums=0)
 
     key = jax.random.PRNGKey(1)
-    # lower/compile BEFORE the donated buffers are consumed by a real call
+    # lower/compile BEFORE the donated buffers are consumed by a real call;
+    # then run the AOT executable directly (donation semantics are baked
+    # into the lowering, so state must be rethreaded every call)
     compiled = step.lower(state, batch, key).compile()
-    state, _ = step(state, batch, key)  # warm
+    state, _ = compiled(state, batch, key)  # warm
     jax.block_until_ready(state.params)
     n_rep = 20
     t0 = time.perf_counter()
     for i in range(n_rep):
-        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        state, metrics = compiled(state, batch, jax.random.fold_in(key, i))
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
     return n_rep / dt, _perf_fields(compiled, n_rep / dt)
