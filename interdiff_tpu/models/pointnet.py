@@ -19,6 +19,7 @@ from interdiff_tpu.ops.pointcloud import (
     furthest_point_sample,
     gather_points,
     hierarchical_fps,
+    pairwise_sqdist,
     query_and_group,
 )
 
@@ -56,16 +57,23 @@ class SAModuleMSG(nn.Module):
         """xyz [B, N, 3], features [B, N, C] | None ->
         (new_xyz [B, npoint, 3], new_features [B, npoint, sum(mlp[-1])])."""
         g = self.fps_groups
-        if g > 1 and xyz.shape[1] % g == 0 and self.npoint % g == 0:
-            idx = hierarchical_fps(xyz, self.npoint, g)
+        if g > 1 and self.npoint == xyz.shape[1]:
+            # npoint == N selects EVERY point; in grouped (non-parity) mode
+            # any order is within the hierarchical_fps contract, so skip the
+            # sampling chain entirely and keep the original order.
+            new_xyz = xyz
+        elif g > 1 and xyz.shape[1] % g == 0 and self.npoint % g == 0:
+            new_xyz = gather_points(xyz, hierarchical_fps(xyz, self.npoint, g))
         else:
-            idx = furthest_point_sample(xyz, self.npoint)
-        new_xyz = gather_points(xyz, idx)
+            new_xyz = gather_points(
+                xyz, furthest_point_sample(xyz, self.npoint))
+        # one [B, M, N] distance matrix shared by every radius scale
+        d2 = pairwise_sqdist(new_xyz, xyz)
         outs = []
         for s, (radius, nsample, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):
             grouped = query_and_group(xyz, new_xyz, features, radius, nsample,
-                                      use_xyz=self.use_xyz)  # [B,M,S,3+C]
+                                      use_xyz=self.use_xyz, d2=d2)  # [B,M,S,3+C]
             h = SharedMLP(mlp, name=f"mlp{s}")(grouped, train=train)
             outs.append(jnp.max(h, axis=2))  # [B, M, mlp[-1]]
         return new_xyz, jnp.concatenate(outs, axis=-1)

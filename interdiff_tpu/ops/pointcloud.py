@@ -109,13 +109,19 @@ def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def ball_query(xyz: jax.Array, new_xyz: jax.Array, radius: float,
-               nsample: int) -> jax.Array:
+               nsample: int, d2: Optional[jax.Array] = None) -> jax.Array:
     """First-`nsample`-within-radius neighbour indices.
 
     xyz: [B, N, 3] points, new_xyz: [B, M, 3] centers -> int32 [B, M, nsample].
+    ``d2``: optional precomputed ``pairwise_sqdist(new_xyz, xyz)`` — the MSG
+    modules query several radii against the same (centers, points) pair, and
+    the [B, M, N] distance matrix is the dominant HBM tenant of the op
+    (134 MB at B=32, M=N=1024), so computing it once is a straight
+    bandwidth win.
     """
     B, N, _ = xyz.shape
-    d2 = pairwise_sqdist(new_xyz, xyz)  # [B, M, N]
+    if d2 is None:
+        d2 = pairwise_sqdist(new_xyz, xyz)  # [B, M, N]
     mask = d2 < radius * radius
     # Select the first nsample True positions in ascending j order:
     # score favours masked entries, then low index.
@@ -133,13 +139,15 @@ def ball_query(xyz: jax.Array, new_xyz: jax.Array, radius: float,
 
 def query_and_group(xyz: jax.Array, new_xyz: jax.Array,
                     features: Optional[jax.Array], radius: float,
-                    nsample: int, *, use_xyz: bool = True) -> jax.Array:
+                    nsample: int, *, use_xyz: bool = True,
+                    d2: Optional[jax.Array] = None) -> jax.Array:
     """`QueryAndGroup` equivalent, channels-last.
 
     xyz: [B, N, 3]; new_xyz: [B, M, 3]; features: [B, N, C] or None.
     Returns [B, M, nsample, 3+C] (re-centered xyz first, as in pointnet2_ops).
+    ``d2``: optional precomputed distances, see :func:`ball_query`.
     """
-    idx = ball_query(xyz, new_xyz, radius, nsample)  # [B, M, S]
+    idx = ball_query(xyz, new_xyz, radius, nsample, d2)  # [B, M, S]
     grouped_xyz = gather_points(xyz, idx) - new_xyz[:, :, None, :]
     parts = []
     if use_xyz:

@@ -115,3 +115,41 @@ def test_hierarchical_fps_coverage(rng):
         d_exact = np.linalg.norm(
             xyz[b][:, None] - xyz[b][exact][None], axis=-1).min(1).max()
         assert d_hier <= 2.0 * d_exact + 1e-6, (d_hier, d_exact)
+
+
+def test_ball_query_precomputed_d2_identical(rng):
+    xyz = rng.random((2, 50, 3)).astype(np.float32)
+    new_xyz = xyz[:, ::10]
+    d2 = pairwise_sqdist(jnp.asarray(new_xyz), jnp.asarray(xyz))
+    a = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(new_xyz), 0.25, 8))
+    b = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(new_xyz), 0.25, 8,
+                              d2))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sa_module_identity_fps_when_npoint_equals_n(rng):
+    """npoint == N in grouped mode skips the FPS chain: centers ARE the
+    input points (original order), and the grouped features match the
+    explicit d2-free path run center-by-center."""
+    from interdiff_tpu.models.pointnet import SAModuleMSG
+
+    xyz = jnp.asarray(rng.random((2, 32, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((2, 32, 2)).astype(np.float32))
+    sa = SAModuleMSG(npoint=32, radii=(0.2, 0.4), nsamples=(4, 8),
+                     mlps=((8, 8), (8, 16)), fps_groups=8)
+    params = sa.init(jax.random.PRNGKey(0), xyz, feats)
+    new_xyz, new_feats = sa.apply(params, xyz, feats)
+    np.testing.assert_array_equal(np.asarray(new_xyz), np.asarray(xyz))
+    assert new_feats.shape == (2, 32, 24)
+
+    # the grouped features equal a manual reconstruction over the same order
+    for s, (r, ns) in enumerate(((0.2, 4), (0.4, 8))):
+        grouped = query_and_group(xyz, xyz, feats, r, ns)
+        from interdiff_tpu.models.pointnet import SharedMLP
+        mlp = SharedMLP(((8, 8), (8, 16))[s])
+        sub = {"params": params["params"][f"mlp{s}"],
+               "batch_stats": params["batch_stats"][f"mlp{s}"]}
+        want = jnp.max(mlp.apply(sub, grouped), axis=2)
+        np.testing.assert_allclose(
+            np.asarray(new_feats[..., s * 8:][..., :(8, 16)[s]]),
+            np.asarray(want), atol=1e-5)
