@@ -147,11 +147,20 @@ def query_and_group(xyz: jax.Array, new_xyz: jax.Array,
     Returns [B, M, nsample, 3+C] (re-centered xyz first, as in pointnet2_ops).
     ``d2``: optional precomputed distances, see :func:`ball_query`.
     """
+    from interdiff_tpu.ops.pallas_gather import gather_rows
+
     idx = ball_query(xyz, new_xyz, radius, nsample, d2)  # [B, M, S]
-    grouped_xyz = gather_points(xyz, idx) - new_xyz[:, :, None, :]
+    B, M, S = idx.shape
+    # one fused row-gather over concat(xyz, features): on TPU this rides
+    # the Pallas masked-reduction kernel (pallas_gather.py) — the XLA
+    # per-row gather was the dominant cost of the whole SA stage
+    data = (xyz if features is None
+            else jnp.concatenate([xyz, features], axis=-1))
+    g = gather_rows(data, idx.reshape(B, M * S)).reshape(B, M, S, -1)
+    grouped_xyz = g[..., :3] - new_xyz[:, :, None, :]
     parts = []
     if use_xyz:
         parts.append(grouped_xyz)
     if features is not None:
-        parts.append(gather_points(features, idx))
+        parts.append(g[..., 3:])
     return jnp.concatenate(parts, axis=-1)
