@@ -242,7 +242,8 @@ def load_eval_sequences(motion_path: str, smpl_models, mode: str = "test"):
 
 def maybe_reference_mdm(path: Optional[str], track: str):
     """Reference Lightning ``.ckpt`` FILE -> (parity-mode MDM module,
-    converted flax variables); None for orbax directories / no checkpoint.
+    converted flax variables, embedded hyper_parameters dict); None for
+    orbax directories / no checkpoint.
 
     This is the `--diffusion_ckpt` bridge for checkpoints trained by the
     reference (`interdiff/README.md` distributes `diffusion.ckpt` /
@@ -259,8 +260,7 @@ def maybe_reference_mdm(path: Optional[str], track: str):
 
     loader = (mdm_smpl_from_checkpoint if track == "smpl"
               else mdm_skeleton_from_checkpoint)
-    model, variables, _ = loader(path)
-    return model, variables
+    return loader(path)
 
 
 def load_mdm(diffusion_ckpt: Optional[str], track: str, model,
@@ -281,8 +281,12 @@ def load_mdm(diffusion_ckpt: Optional[str], track: str, model,
         if diffusion_ckpt:
             params = restore_params(diffusion_ckpt, params)
         return model, params
-    model, params = ref
-    ckpt_future = getattr(model, "future_len", future_len)  # skeleton MDM
+    model, params, hp = ref
+    # validate against the checkpoint's embedded hyper_parameters:
+    # MDMSkeleton carries no future_len attribute, so a module-attr check
+    # would silently pass for the skeleton track (ADVICE r3)
+    ckpt_future = int(hp.get("future_len",
+                             getattr(model, "future_len", future_len)))
     if model.past_len != past_len or ckpt_future != future_len:
         raise ValueError(
             f"--diffusion_ckpt {diffusion_ckpt} embeds past_len="

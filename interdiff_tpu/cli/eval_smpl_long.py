@@ -229,7 +229,9 @@ def main():
     with open(os.path.join(args.out_dir, "drift_metrics.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print("rollout drift summary (per window):", summary)
-    return summary
+    # no return: the console-script wrapper is `sys.exit(main())`, and a
+    # truthy non-int return makes every successful run exit with status 1
+    # (the summary is printed above and persisted to drift_metrics.json)
 
 
 def _make_window_metrics(cfg, smpl, num_chunks):

@@ -203,6 +203,7 @@ def main():
 
     prof = TrainProfiler(args, args.results_dir)
     i = 0
+    batch_np_last = None  # stays None if epoch_batches() yields nothing
     for epoch in range(args.epochs if not args.synthetic else 1):
         step = step_init if epoch < 10 and not args.synthetic else step_main
         for batch_np_last in epoch_batches():
@@ -224,7 +225,10 @@ def main():
                       val_loss=float(metrics["loss"]))
         if render_correction is not None and (
                 (epoch + 1) % args.render_interval == 0):
-            render_correction(state, batch_np_last, epoch)
+            if batch_np_last is None:
+                print("render skipped: no batches this epoch")
+            else:
+                render_correction(state, batch_np_last, epoch)
     prof.finish()
     ckpt.wait()
     logger.close()

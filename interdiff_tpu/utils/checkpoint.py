@@ -92,6 +92,7 @@ def convert_obj_projector(sd: Dict[str, np.ndarray], *,
     """state_dict -> flax ``{'params': ..., 'batch_stats': ...}`` for
     :class:`ObjProjectorCore` wrapped under ``core`` (matches the module
     trees of ObjProjectorSmpl / ObjProjectorSkeleton)."""
+    sd = _TrackedSD(sd)
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
     for stack, chans in (("st_gcnns_relative", channels),
@@ -106,6 +107,7 @@ def convert_obj_projector(sd: Dict[str, np.ndarray], *,
             s_stack[f"gcn{i}"] = s
         params[stack] = p_stack
         stats[stack] = s_stack
+    _assert_all_consumed(sd, torch_prefix=torch_prefix)
     tree = {"params": {"core": params}, "batch_stats": {"core": stats}}
     return _to_f32(tree)
 
@@ -133,6 +135,53 @@ def _to_f32(tree):
 # `model/diffusion_smpl.py:177-183`) are deliberately dropped.
 
 _MDM_UNUSED = ("finalLinear.", "bodyFutureEmbedding", "objFutureEmbedding")
+
+# Deterministic buffers the reference registers in its state_dict but that we
+# recompute from hyper-parameters (sinusoidal tables, QaN rotary frequencies,
+# BatchNorm step counters) — never converted, always allowed to remain.
+_DETERMINISTIC_BUFFER_SUFFIXES = (
+    ".pe",                    # PositionalEncoding (`model/layers.py`)
+    ".rel_pos.inv_freq",      # LocalAttention rotary table (QaN layers)
+    ".num_batches_tracked",   # torch BatchNorm counter
+)
+
+
+class _TrackedSD(dict):
+    """state_dict wrapper that records which keys conversion consumed.
+
+    Membership probes (``in``) intentionally do NOT count as consumption —
+    only actual weight reads do — so layout detection can't mask a dropped
+    tensor.
+    """
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.consumed: set = set()
+
+    def __getitem__(self, key):
+        self.consumed.add(key)
+        return super().__getitem__(key)
+
+
+def _assert_all_consumed(sd: "_TrackedSD", *, torch_prefix: str,
+                         unused_prefixes: Tuple[str, ...] = ()) -> None:
+    """Raise if any state-dict key was neither converted nor allow-listed.
+
+    A checkpoint with an unrecognised layout (extra/misplaced weights) must
+    fail loudly here instead of silently dropping tensors — missing keys
+    already KeyError inside the converters, this closes the other direction
+    (ADVICE r3)."""
+    allowed = tuple(torch_prefix + p for p in unused_prefixes)
+    leftovers = sorted(
+        k for k in sd
+        if k not in sd.consumed
+        and not k.endswith(_DETERMINISTIC_BUFFER_SUFFIXES)
+        and not k.startswith(allowed))
+    if leftovers:
+        raise ValueError(
+            f"checkpoint conversion left {len(leftovers)} state-dict key(s) "
+            f"unconsumed (unrecognised layout?): {leftovers[:8]}"
+            + (" ..." if len(leftovers) > 8 else ""))
 
 
 def _linear_p(sd: Dict[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
@@ -231,6 +280,7 @@ def convert_mdm_smpl(sd: Dict[str, np.ndarray], *,
     (`diffusion_smpl.py:14`), otherwise the PointNet++ set-abstraction
     weights are mapped (with BatchNorm running stats into `batch_stats`).
     """
+    sd = _TrackedSD(sd)
     P = torch_prefix
     params: Dict[str, Any] = {
         "bodyEmbedding": _linear_p(sd, f"{P}bodyEmbedding"),
@@ -252,6 +302,7 @@ def convert_mdm_smpl(sd: Dict[str, np.ndarray], *,
         pc_p, pc_s = _pointnet_params(sd, f"{P}pcEmbedding")
         params["pcEmbedding"] = pc_p
         tree["batch_stats"] = {"pcEmbedding": pc_s}
+    _assert_all_consumed(sd, torch_prefix=P, unused_prefixes=_MDM_UNUSED)
     return _to_f32(tree)
 
 
@@ -263,6 +314,7 @@ def convert_mdm_skeleton(sd: Dict[str, np.ndarray], *,
     (`model/diffusion_skeleton.py:7-257`) -> flax variables for
     :class:`MDMSkeleton` (body Linear 63->E, shape/obj Linear 36->E,
     7-D pose head)."""
+    sd = _TrackedSD(sd)
     P = torch_prefix
     params: Dict[str, Any] = {
         "bodyEmbedding": _linear_p(sd, f"{P}bodyEmbedding"),
@@ -278,6 +330,7 @@ def convert_mdm_skeleton(sd: Dict[str, np.ndarray], *,
         "bodyFinalLinear": _linear_p(sd, f"{P}bodyFinalLinear"),
         "objFinalLinear": _linear_p(sd, f"{P}objFinalLinear"),
     }
+    _assert_all_consumed(sd, torch_prefix=P, unused_prefixes=_MDM_UNUSED)
     return _to_f32({"params": params})
 
 

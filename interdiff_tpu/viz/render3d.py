@@ -187,8 +187,11 @@ def render_scene(meshes: Sequence[Mesh], *, width: int = 256,
     # bucket by bbox size: a dense 14k-face body projects to ~2-4 px
     # triangles, and a fixed K x K tile would touch K*K/4 wasted pixels per
     # triangle (measured 10.7 s/frame at K=20 for the full SMPL mesh; the
-    # 4/8/K buckets cut that ~8x with bit-identical output — the z-buffer
-    # resolves depth, bucket order only reorders epsilon-tied overwrites)
+    # 4/8/K buckets cut that ~8x). Output is identical to the single-bucket
+    # path ABSENT exact cross-bucket depth ties: the z-buffer resolves all
+    # strict depth differences, but per-bucket far-to-near sorts can flip
+    # the winner between two triangles at bit-equal depth in different
+    # buckets (coplanar/shared-edge faces) — all goldens pin equality
     remaining = on.copy()
     sizes = [k for k in (4, 8) if k < tile] + [tile]
     for K in sizes:

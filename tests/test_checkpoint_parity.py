@@ -87,3 +87,46 @@ def test_skeleton_correction_checkpoint_loads_and_runs(rng):
     assert quat_p.shape == (B, T, 4) and trans_p.shape == (B, T, 3)
     assert np.isfinite(np.asarray(quat_p)).all()
     assert np.isfinite(np.asarray(trans_p)).all()
+
+
+@needs_ckpts
+def test_unconsumed_keys_fail_loudly():
+    """An unrecognised state-dict layout (extra tensors the converter does
+    not map) must raise, not silently drop weights (ADVICE r3).  The real
+    checkpoints must pass the same audit — their only unconsumed keys are
+    deterministic buffers (`num_batches_tracked`)."""
+    pytest.importorskip("torch")
+    from interdiff_tpu.utils.checkpoint import (
+        convert_obj_projector,
+        load_lightning_state_dict,
+    )
+
+    sd, _ = load_lightning_state_dict(CKPT_SMPL)
+    convert_obj_projector(dict(sd))  # clean checkpoint: audit passes
+
+    sd["model.some_new_head.weight"] = np.zeros((3, 3), np.float32)
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_obj_projector(sd)
+
+
+def test_mdm_unused_params_allowlisted():
+    """The documented dead reference params (`finalLinear`,
+    `bodyFutureEmbedding`, `objFutureEmbedding`,
+    `model/diffusion_smpl.py:177-183`) and deterministic buffers (pe,
+    rel_pos.inv_freq) pass the audit; anything else raises."""
+    pytest.importorskip("torch")
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    import test_reference_mdm_forward as T
+    from interdiff_tpu.utils.checkpoint import convert_mdm_smpl
+
+    import torch as th
+    th.manual_seed(233)
+    ref = T.ref_mdm_smpl.MDM(T._smpl_args())
+    ref.pcEmbedding = th.nn.Linear(4, T.E)
+    sd = T._sd(ref)
+    convert_mdm_smpl(dict(sd))  # dead params + buffers allow-listed
+
+    sd["model.extra.weight"] = np.zeros((2, 2), np.float32)
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_mdm_smpl(sd)

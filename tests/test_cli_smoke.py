@@ -161,8 +161,9 @@ def test_load_mdm_window_mismatch_raises(monkeypatch):
     from interdiff_tpu.models.mdm_smpl import MDMSmpl
 
     ckpt_model = MDMSmpl(past_len=10, future_len=25)
+    hp = {"past_len": 10, "future_len": 25}
     monkeypatch.setattr(common, "maybe_reference_mdm",
-                        lambda path, track: (ckpt_model, {"params": {}}))
+                        lambda path, track: (ckpt_model, {"params": {}}, hp))
     # matching windows pass through
     m, p = common.load_mdm("x.ckpt", "smpl", None, lambda: None,
                            past_len=10, future_len=25)
@@ -170,3 +171,19 @@ def test_load_mdm_window_mismatch_raises(monkeypatch):
     with pytest.raises(ValueError, match="past_len"):
         common.load_mdm("x.ckpt", "smpl", None, lambda: None,
                         past_len=20, future_len=15)
+
+    # skeleton track: MDMSkeleton has no future_len attribute, so the check
+    # must come from the checkpoint's embedded hyper_parameters (ADVICE r3)
+    from interdiff_tpu.models.mdm_skeleton import MDMSkeleton
+
+    skel = MDMSkeleton(past_len=10)
+    monkeypatch.setattr(
+        common, "maybe_reference_mdm",
+        lambda path, track: (skel, {"params": {}},
+                             {"past_len": 10, "future_len": 10}))
+    with pytest.raises(ValueError, match="future_len"):
+        common.load_mdm("x.ckpt", "skeleton", None, lambda: None,
+                        past_len=10, future_len=25)
+    m, _ = common.load_mdm("x.ckpt", "skeleton", None, lambda: None,
+                           past_len=10, future_len=10)
+    assert m is skel

@@ -328,7 +328,8 @@ def test_cli_diffusion_ckpt_dispatch(smpl_pair, skel_pair, tmp_path):
     torch.save({"state_dict": {f"model.{k}": v
                                for k, v in ref.state_dict().items()},
                 "hyper_parameters": vars(_smpl_args())}, path)
-    model, variables = maybe_reference_mdm(str(path), "smpl")
+    model, variables, hp = maybe_reference_mdm(str(path), "smpl")
+    assert int(hp["past_len"]) == PAST and int(hp["future_len"]) == FUT
     x = np.zeros((1, PAST + FUT, 144), np.float32)
     out = model.apply(variables, jnp.asarray(x),
                       jnp.zeros((1,), jnp.int32),
@@ -340,7 +341,7 @@ def test_cli_diffusion_ckpt_dispatch(smpl_pair, skel_pair, tmp_path):
     torch.save({"state_dict": {f"model.{k}": v
                                for k, v in ref_s.state_dict().items()},
                 "hyper_parameters": vars(_skel_args())}, path_s)
-    model_s, variables_s = maybe_reference_mdm(str(path_s), "skeleton")
+    model_s, variables_s, _ = maybe_reference_mdm(str(path_s), "skeleton")
     assert model_s.ff_size == FF_SKEL
     out = model_s.apply(variables_s, jnp.zeros((1, 2 * PAST, 106)),
                         jnp.zeros((1,), jnp.int32),
