@@ -76,7 +76,7 @@ def make_skeleton_sampler(
     bd, od = cfg.num_joints * 3, cfg.num_points * 3
 
     def _run(params, key, skeleton, obj_points, poses, zero_pose_obj,
-             memory, gt):
+             memory, gt, noise=None, step_noise=None):
 
         def model_fn(x, ts):
             return model.apply(params, x, ts, zero_pose_obj, memory)
@@ -111,14 +111,16 @@ def make_skeleton_sampler(
 
         mask = jnp.zeros_like(gt, dtype=bool).at[:, : cfg.past_len].set(True)
         key, k_noise = jax.random.split(key)
-        noise = jax.random.normal(k_noise, gt.shape, gt.dtype)
+        if noise is None:
+            noise = jax.random.normal(k_noise, gt.shape, gt.dtype)
         kwargs = dict(noise=noise, inpaint=Inpaint(mask, gt),
                       denoised_fn=denoised_fn)
         if sampler == "ddim":
             return diffusion.ddim_sample_loop(model_fn, key, **kwargs)
         if sampler == "plms":
             return diffusion.plms_sample_loop(model_fn, key, **kwargs)
-        return diffusion.p_sample_loop(model_fn, key, **kwargs)
+        return diffusion.p_sample_loop(model_fn, key, step_noise=step_noise,
+                                       **kwargs)
 
     if reuse_memory:
         def sample_mem(params, key, skeleton, obj_points, poses,
@@ -128,11 +130,12 @@ def make_skeleton_sampler(
 
         return sample_mem
 
-    def sample(params, key, skeleton, obj_points, poses, zero_pose_obj):
+    def sample(params, key, skeleton, obj_points, poses, zero_pose_obj,
+               noise=None, step_noise=None):
         memory, gt = model.apply(params, skeleton, obj_points, poses,
                                  zero_pose_obj, method=MDMSkeleton.encode)
         return _run(params, key, skeleton, obj_points, poses, zero_pose_obj,
-                    memory, gt)
+                    memory, gt, noise=noise, step_noise=step_noise)
 
     return sample
 

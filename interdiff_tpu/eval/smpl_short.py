@@ -184,7 +184,8 @@ def make_sampler(
     ``sampler``: 'ddpm' (ancestral, the reference default), 'ddim', 'plms'.
     """
 
-    def _run(params, key, gt, obj_points6, hand_pose, betas, memory):
+    def _run(params, key, gt, obj_points6, hand_pose, betas, memory,
+             noise=None, step_noise=None):
         def model_fn(x, ts):
             return model.apply(params, x, ts, memory)
 
@@ -197,7 +198,8 @@ def make_sampler(
                 obj_points=obj_points6[..., :3], markers_idx=markers_idx)
 
         key, k_noise = jax.random.split(key)
-        noise = jax.random.normal(k_noise, gt.shape, gt.dtype)
+        if noise is None:
+            noise = jax.random.normal(k_noise, gt.shape, gt.dtype)
         kwargs = dict(noise=noise, inpaint=Inpaint(mask, gt),
                       denoised_fn=denoised_fn)
         if sampler == "ddim":
@@ -207,14 +209,17 @@ def make_sampler(
             return diffusion.plms_sample_loop(model_fn, key,
                                               denoised_fn=denoised_fn,
                                               **kwargs)
-        return diffusion.p_sample_loop(model_fn, key, **kwargs)
+        return diffusion.p_sample_loop(model_fn, key, step_noise=step_noise,
+                                       **kwargs)
 
     if reuse_memory:
         return _run
 
-    def sample(params, key, gt, obj_points6, hand_pose, betas):
+    def sample(params, key, gt, obj_points6, hand_pose, betas,
+               noise=None, step_noise=None):
         memory = model.apply(params, gt, obj_points6, method=MDMSmpl.encode)
-        return _run(params, key, gt, obj_points6, hand_pose, betas, memory)
+        return _run(params, key, gt, obj_points6, hand_pose, betas, memory,
+                    noise=noise, step_noise=step_noise)
 
     return sample
 
