@@ -67,13 +67,28 @@ class SAModuleMSG(nn.Module):
         else:
             new_xyz = gather_points(
                 xyz, furthest_point_sample(xyz, self.npoint))
-        # one [B, M, N] distance matrix shared by every radius scale
-        d2 = pairwise_sqdist(new_xyz, xyz)
+        # one pairwise-distance matrix shared by every radius scale; on TPU
+        # the fused rank-select kernel replaces top_k + gather per scale
+        # (ops/pallas_group.py) and streams the TRANSPOSED [B, N, M] layout
+        from interdiff_tpu.ops.pallas_group import (
+            _MAX_C, _FORCE_PALLAS_INTERPRET, fused_query_group,
+            pairwise_sqdist_t)
+        from interdiff_tpu.ops.pallas_nn import on_tpu
+
+        c_data = 3 + (0 if features is None else features.shape[-1])
+        fused = c_data <= _MAX_C and (on_tpu() or _FORCE_PALLAS_INTERPRET)
+        d2 = (pairwise_sqdist_t(xyz, new_xyz) if fused
+              else pairwise_sqdist(new_xyz, xyz))
         outs = []
         for s, (radius, nsample, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):
-            grouped = query_and_group(xyz, new_xyz, features, radius, nsample,
-                                      use_xyz=self.use_xyz, d2=d2)  # [B,M,S,3+C]
+            if fused:
+                grouped = fused_query_group(xyz, new_xyz, features, radius,
+                                            nsample, self.use_xyz, d2)
+            else:
+                grouped = query_and_group(
+                    xyz, new_xyz, features, radius, nsample,
+                    use_xyz=self.use_xyz, d2=d2)  # [B,M,S,3+C]
             h = SharedMLP(mlp, name=f"mlp{s}")(grouped, train=train)
             outs.append(jnp.max(h, axis=2))  # [B, M, mlp[-1]]
         return new_xyz, jnp.concatenate(outs, axis=-1)

@@ -1,0 +1,132 @@
+"""Drive the fused ball-query+group kernel (`ops/pallas_group.py`) on the
+real chip: Mosaic lowering check, bit-equality vs the XLA pipeline, and
+slope-timed perf at the train shape (B=32, M=N=1024, S=16/32, C=4).
+
+Interpret-mode tests (tests/test_pallas_group.py) do NOT catch TPU
+lowering-constraint errors — run this after any kernel change (same
+protocol as scripts/pallas_tpu_attempt.py for the NN kernel).
+
+    python scripts/pallas_group_attempt.py [--batch 32 --points 1024]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from interdiff_tpu.ops.pallas_group import (  # noqa: E402
+    fused_query_group,
+    pairwise_sqdist_t,
+)
+from interdiff_tpu.ops.pointcloud import pairwise_sqdist, query_and_group  # noqa: E402
+
+K_LO, K_HI = 1, 9
+
+
+def _mix(x, out):
+    leaves = jax.tree.leaves(out)
+    s = sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
+    return x * (1.0 + 1e-12 * s)
+
+
+def chain(name, op, x0, reps=5):
+    """Slope-timed per-op ms (tunnel memo + RTT cancel; see
+    profile_pointnet_parts.py)."""
+
+    def run_k(k):
+        @jax.jit
+        def g(x):
+            def body(_, x):
+                return _mix(x, op(x))
+            return jax.lax.fori_loop(0, k, body, x)
+
+        variants = [x0 * (1.0 + 1e-6 * (i + k)) for i in range(reps + 1)]
+        out = g(variants[0])
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for v in variants[1:]:
+            out = g(v)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    t_lo, t_hi = run_k(K_LO), run_k(K_HI)
+    per = (t_hi - t_lo) / (K_HI - K_LO)
+    print(f"{name:52s} {per:8.2f} ms   (T1={t_lo:7.2f}  T9={t_hi:7.2f})",
+          flush=True)
+    return per
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--points", type=int, default=1024)
+    args = ap.parse_args()
+    B, P = args.batch, args.points
+    M = min(1024, P)
+
+    print("platform:", jax.devices()[0].platform, flush=True)
+    rng = np.random.default_rng(0)
+    xyz = jnp.asarray(
+        rng.uniform(-0.4, 0.4, (B, P, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((B, P, 1)).astype(np.float32))
+    new = xyz[:, :M]
+
+    # ---- correctness on the chip (bit equality vs XLA path) ---------------
+    for radius, ns in ((0.05, 16), (0.1, 32)):
+        ref = np.asarray(query_and_group(xyz, new, feats, radius, ns))
+        got = np.asarray(fused_query_group(xyz, new, feats, radius, ns))
+        eq = np.array_equal(got, ref)
+        print(f"bit-equal r={radius} ns={ns}: {eq}", flush=True)
+        if not eq:
+            diff = np.abs(got - ref)
+            print("  max abs diff", diff.max(),
+                  "at", np.unravel_index(diff.argmax(), diff.shape))
+            sys.exit(1)
+
+    # ---- perf: fused vs XLA pipeline, per scale and per MSG module --------
+    for ns, r in ((16, 0.05), (32, 0.1)):
+        chain(f"XLA   query_and_group ns={ns}",
+              lambda x, n=ns, rr=r: query_and_group(
+                  x, x[:, :M], jnp.sum(x, -1, keepdims=True), rr, n), xyz)
+        chain(f"FUSED query_group     ns={ns}",
+              lambda x, n=ns, rr=r: fused_query_group(
+                  x, x[:, :M], jnp.sum(x, -1, keepdims=True), rr, n), xyz)
+
+    def msg_xla(x):
+        f = jnp.sum(x, -1, keepdims=True)
+        d2 = pairwise_sqdist(x[:, :M], x)
+        return [query_and_group(x, x[:, :M], f, r, n, d2=d2)
+                for r, n in ((0.05, 16), (0.1, 32))]
+
+    def msg_fused(x):
+        f = jnp.sum(x, -1, keepdims=True)
+        d2t = pairwise_sqdist_t(x, x[:, :M])
+        return [fused_query_group(x, x[:, :M], f, r, n, True, d2t)
+                for r, n in ((0.05, 16), (0.1, 32))]
+
+    chain("XLA   both scales (shared d2)", msg_xla, xyz)
+    chain("FUSED both scales (shared d2t)", msg_fused, xyz)
+
+    # ---- whole encoder forward --------------------------------------------
+    from interdiff_tpu.models.pointnet import PointNet2Encoder  # noqa: E402
+
+    pc = jnp.concatenate([xyz, feats], axis=-1)[:, None]  # [B,1,P,4]
+    enc = PointNet2Encoder(c_in=1, c_out=256, num_keypoints=1)
+    ep = enc.init(jax.random.PRNGKey(0), pc)
+    chain("PointNet2Encoder fwd (fused routing)",
+          lambda x: enc.apply(ep, x), pc)
+
+
+if __name__ == "__main__":
+    main()

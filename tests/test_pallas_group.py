@@ -1,0 +1,111 @@
+"""Fused ball-query+group kernel (`ops/pallas_group.py`) vs the XLA
+reference pipeline (`ops/pointcloud.query_and_group`) — selection, pad-
+first/zero-hit row semantics, recentering, and the grad fallback.
+
+The kernel must be BIT-identical to the XLA path: same first-S-in-radius
+selection, single-nonzero-term select-sums (exact in f32), same recenter
+subtraction. Interpret mode exercises the kernel logic off-TPU; TPU
+lowering is chip-validated by scripts/pallas_group_attempt.py.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import interdiff_tpu.ops.pallas_group as pgr
+from interdiff_tpu.ops.pointcloud import pairwise_sqdist, query_and_group
+
+
+def _cloud(rng, B=2, N=96, M=64, C=1, spread=0.4):
+    xyz = rng.uniform(-spread, spread, (B, N, 3)).astype(np.float32)
+    new_xyz = xyz[:, :M] if M <= N else None
+    feats = rng.standard_normal((B, N, C)).astype(np.float32)
+    return jnp.asarray(xyz), jnp.asarray(new_xyz), jnp.asarray(feats)
+
+
+@pytest.mark.parametrize("radius,nsample", [(0.05, 16), (0.1, 32), (0.3, 8)])
+def test_fused_matches_xla(monkeypatch, radius, nsample):
+    monkeypatch.setattr(pgr, "_FORCE_PALLAS_INTERPRET", True)
+    rng = np.random.default_rng(0)
+    xyz, new_xyz, feats = _cloud(rng)
+
+    ref = query_and_group(xyz, new_xyz, feats, radius, nsample)
+    got = pgr.fused_query_group(xyz, new_xyz, feats, radius, nsample)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_no_features(monkeypatch):
+    monkeypatch.setattr(pgr, "_FORCE_PALLAS_INTERPRET", True)
+    rng = np.random.default_rng(1)
+    xyz, new_xyz, _ = _cloud(rng)
+    ref = query_and_group(xyz, new_xyz, None, 0.2, 12)
+    got = pgr.fused_query_group(xyz, new_xyz, None, 0.2, 12)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_shared_d2t(monkeypatch):
+    """Both MSG scales share one transposed distance matrix."""
+    monkeypatch.setattr(pgr, "_FORCE_PALLAS_INTERPRET", True)
+    rng = np.random.default_rng(2)
+    xyz, new_xyz, feats = _cloud(rng)
+    d2t = pgr.pairwise_sqdist_t(xyz, new_xyz)
+    d2 = pairwise_sqdist(new_xyz, xyz)
+    for radius, nsample in ((0.05, 16), (0.1, 32)):
+        ref = query_and_group(xyz, new_xyz, feats, radius, nsample, d2=d2)
+        got = pgr.fused_query_group(xyz, new_xyz, feats, radius, nsample,
+                                    True, d2t)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_zero_hit_rows(monkeypatch):
+    """Centers with no candidate inside the radius take point 0, recentered
+    (the CUDA kernel leaves idx 0) — both paths agree exactly."""
+    monkeypatch.setattr(pgr, "_FORCE_PALLAS_INTERPRET", True)
+    rng = np.random.default_rng(3)
+    xyz = rng.uniform(-0.5, 0.5, (1, 64, 3)).astype(np.float32)
+    far = np.array([[[5.0, 5.0, 5.0]] * 8], np.float32)  # all rows zero-hit
+    feats = rng.standard_normal((1, 64, 2)).astype(np.float32)
+    ref = query_and_group(jnp.asarray(xyz), jnp.asarray(far),
+                          jnp.asarray(feats), 0.1, 4)
+    got = pgr.fused_query_group(jnp.asarray(xyz), jnp.asarray(far),
+                                jnp.asarray(feats), 0.1, 4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_grad_fallback(monkeypatch):
+    """jax.grad through the fused op equals grad through the XLA path (the
+    custom VJP recomputes via the reference implementation)."""
+    monkeypatch.setattr(pgr, "_FORCE_PALLAS_INTERPRET", True)
+    rng = np.random.default_rng(4)
+    xyz, new_xyz, feats = _cloud(rng, B=1, N=48, M=32)
+
+    def loss_fused(f):
+        return jnp.sum(pgr.fused_query_group(xyz, new_xyz, f, 0.2, 8) ** 2)
+
+    def loss_ref(f):
+        return jnp.sum(query_and_group(xyz, new_xyz, f, 0.2, 8) ** 2)
+
+    g_fused = jax.grad(loss_fused)(feats)
+    g_ref = jax.grad(loss_ref)(feats)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               atol=1e-6)
+
+
+def test_sa_module_fused_equals_xla(monkeypatch):
+    """SAModuleMSG routed through the fused kernel produces bit-identical
+    features to the XLA route (the 'losses bit-comparable' requirement)."""
+    from interdiff_tpu.models.pointnet import SAModuleMSG
+
+    rng = np.random.default_rng(5)
+    xyz = jnp.asarray(rng.uniform(-0.4, 0.4, (2, 128, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((2, 128, 1)).astype(np.float32))
+    sa = SAModuleMSG(npoint=128, radii=(0.05, 0.1), nsamples=(16, 32),
+                     mlps=((16, 16, 32), (32, 32, 64)), fps_groups=16)
+    params = sa.init(jax.random.PRNGKey(0), xyz, feats)
+
+    nx_ref, f_ref = sa.apply(params, xyz, feats)
+    monkeypatch.setattr(pgr, "_FORCE_PALLAS_INTERPRET", True)
+    nx_fused, f_fused = sa.apply(params, xyz, feats)
+    np.testing.assert_array_equal(np.asarray(nx_fused), np.asarray(nx_ref))
+    np.testing.assert_array_equal(np.asarray(f_fused), np.asarray(f_ref))
