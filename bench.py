@@ -471,6 +471,86 @@ def measure_tpu_skeleton():
     return n_div * B * n_rep / dt, _perf_fields(compiled, n_rep / dt)
 
 
+def measure_tpu_skeleton_correction():
+    """INTERDIFF_BENCH_SKELETON_CORRECTION=1: the skeleton track WITH the
+    ObjProjector denoised_fn active inside the sampling scan — vectorised
+    contact + projector + rigid keypoint reconstruction at t<=500 every 50
+    steps (`eval/skeleton.py:88-122`; reference `eval_skeleton.py:82-111`).
+    Loads the real converted `obj_skeleton.ckpt` when present (random init
+    otherwise).  B via INTERDIFF_BENCH_BATCH, 2-fold diverse batching."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from interdiff_tpu.diffusion.gaussian import GaussianDiffusion
+    from interdiff_tpu.eval.skeleton import (
+        SkeletonEvalConfig,
+        make_skeleton_sampler,
+    )
+    from interdiff_tpu.models.correction import ObjProjectorSkeleton
+    from interdiff_tpu.models.mdm_skeleton import MDMSkeleton
+    from interdiff_tpu.parallel.sample_parallel import (
+        tile_for_diverse_samples,
+    )
+
+    rng = np.random.default_rng(233)
+    cfg = SkeletonEvalConfig()
+    model = MDMSkeleton()
+    projector = ObjProjectorSkeleton()
+    respacing = os.environ.get("INTERDIFF_BENCH_RESPACING", str(STEPS))
+    diffusion = GaussianDiffusion.create_named(
+        steps=1000, timestep_respacing=respacing)
+    Tk = cfg.seq_len
+
+    body = jnp.asarray(rng.standard_normal((B, Tk, 21, 3)), jnp.float32)
+    obj = jnp.asarray(rng.standard_normal((B, Tk, 12, 3)), jnp.float32)
+    pose = jnp.asarray(rng.standard_normal((B, Tk, 7)), jnp.float32)
+    zero_pose = jnp.asarray(rng.standard_normal((B, 12, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), body, obj, pose, zero_pose,
+                        jnp.zeros((B,), jnp.int32),
+                        method=MDMSkeleton.init_forward)
+    ckpt = "/root/reference/interdiff/checkpoints/obj_skeleton.ckpt"
+    if os.path.exists(ckpt):
+        from interdiff_tpu.utils.checkpoint import load_correction_skeleton
+
+        proj_params, _ = load_correction_skeleton(ckpt)
+    else:
+        proj_params = projector.init(
+            jax.random.PRNGKey(2), pose[..., 3:7], pose[..., :3], body,
+            method=ObjProjectorSkeleton.sample)
+
+    enc = jax.jit(lambda p, b, o, ps, z: model.apply(
+        p, b, o, ps, z, method=MDMSkeleton.encode))
+    sample = jax.jit(make_skeleton_sampler(
+        cfg, model, diffusion, projector=projector,
+        projector_params=proj_params, use_correction=True,
+        reuse_memory=True))
+
+    n_div = int(os.environ.get("INTERDIFF_BENCH_DIVERSE", "2"))
+    memory, gt = enc(params, body, obj, pose, zero_pose)
+    body_t, obj_t, pose_t, zero_t, mem_t, gt_t = (
+        tile_for_diverse_samples(a, n_div)
+        for a in (body, obj, pose, zero_pose, memory, gt))
+    key = jax.random.PRNGKey(1)
+    compiled = sample.lower(params, key, body_t, obj_t, pose_t, zero_t,
+                            mem_t, gt_t).compile()
+    call = lambda k: compiled(params, k, body_t, obj_t, pose_t, zero_t,  # noqa: E731
+                              mem_t, gt_t)
+    call(key).block_until_ready()  # warm (AOT direct)
+    n_rep = 5
+    t0 = time.perf_counter()
+    memory, gt = enc(params, body, obj, pose, zero_pose)
+    mem_t, gt_t = (tile_for_diverse_samples(a, n_div) for a in (memory, gt))
+    for i in range(n_rep):
+        out = call(jax.random.fold_in(key, i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return n_div * B * n_rep / dt, _perf_fields(compiled, n_rep / dt)
+
+
 def measure_tpu_train() -> float:
     """INTERDIFF_BENCH_TRAIN=1: SMPL-MDM diffusion training step (the full
     16-term loss pyramid + AdamW, `train/trainer.py::make_smpl_train_step`)
@@ -593,6 +673,19 @@ def main():
             "clips_per_sec": round(steps_s * B, 1),
             # no torch-CPU train baseline is cached; keep the field's
             # speedup-ratio contract instead of smuggling clips/s into it
+            "vs_baseline": None,
+            **perf,
+        }))
+        return
+
+    if os.environ.get("INTERDIFF_BENCH_SKELETON_CORRECTION") == "1":
+        throughput, perf = measure_tpu_skeleton_correction()
+        print(json.dumps({
+            "metric": "HOI sequences/sec/chip (100-step DDPM + correction-"
+                      "in-scan, skeleton track)",
+            "value": round(throughput, 3),
+            "unit": "seq/s/chip",
+            # no like-for-like torch skeleton baseline is recorded
             "vs_baseline": None,
             **perf,
         }))

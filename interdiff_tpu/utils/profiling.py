@@ -39,6 +39,57 @@ def trace(logdir: str) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
+def slope_time(op, x0, *, k_lo: int = 1, k_hi: int = 9, reps: int = 5
+               ) -> float:
+    """Per-op milliseconds by SLOPE: run ``op`` K-chained inside one jitted
+    ``fori_loop`` at ``k_lo`` and ``k_hi`` dispatches and return
+    ``(t_hi - t_lo) / (k_hi - k_lo)``.
+
+    This cancels the per-dispatch fixed cost (tunnel RTT + launch overhead,
+    ~1-2 ms over the axon tunnel) that makes standalone-dispatch timing
+    overstate small ops by an order of magnitude (round-3 verdict item 5:
+    a "14 ms" AdamW whose HBM roofline cost is ~0.3 ms).  Each outer rep
+    gets a uniquely perturbed input — the axon tunnel memoizes results by
+    argument value, so identical repeat dispatches report absurd sub-ms
+    times.
+
+    ``op`` maps the carry pytree to any output pytree; a tiny data
+    dependency on the output is folded back into the carry to keep chained
+    iterations sequential without changing the carried value.
+    """
+    import jax.numpy as jnp
+
+    def _is_float(v):
+        return hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+
+    def _mix(x, out):
+        leaves = [l for l in jax.tree.leaves(out) if _is_float(l)]
+        s = sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
+        return jax.tree.map(
+            lambda v: v * (1.0 + 1e-12 * s) if _is_float(v) else v, x)
+
+    def _perturb(x, eps):
+        return jax.tree.map(
+            lambda v: v * (1.0 + eps) if _is_float(v) else v, x)
+
+    def run_k(k):
+        @jax.jit
+        def g(x):
+            return jax.lax.fori_loop(0, k, lambda _, x: _mix(x, op(x)), x)
+
+        variants = [_perturb(x0, 1e-6 * (i + k)) for i in range(reps + 1)]
+        out = g(variants[0])
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for v in variants[1:]:
+            out = g(v)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    t_lo, t_hi = run_k(k_lo), run_k(k_hi)
+    return (t_hi - t_lo) / (k_hi - k_lo)
+
+
 class StepTimer:
     """Wall-clock aggregation by section (SimpleProfiler equivalent).
 

@@ -1,10 +1,14 @@
 """Time each subgraph of the correction denoised_fn at bench shapes.
 
-The correction-in-scan bench (`INTERDIFF_BENCH_CORRECTION=1`) costs
-~113 ms/seq on top of plain sampling, i.e. ~331 ms per activation at B=32
-(11 activations on the 100-step schedule).  This script times the pieces
-of `eval/smpl_short.make_correction_denoised_fn` in isolation on the real
-chip so optimization effort lands on the actual hot op.
+The correction-in-scan bench (`INTERDIFF_BENCH_CORRECTION=1`) runs the
+denoised_fn (FK + normals + fused signed-NN + marker-NN + projector) at
+11 activations per 100-step schedule.  This script decomposes one
+activation on the real chip so optimization effort lands on the actual
+hot op, and checks the parts SUM to the full denoised_fn.
+
+All timings are SLOPE-based (`utils/profiling.slope_time`): K-chained
+fori_loop at K=1/9 cancels per-dispatch overhead (~1-2 ms over the axon
+tunnel), which polluted the round-3 standalone numbers.
 
 Run on the chip (no platform override):
     python scripts/profile_correction_parts.py [--body_v 6890 --points 2048]
@@ -13,7 +17,6 @@ Run on the chip (no platform override):
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -39,18 +42,13 @@ from interdiff_tpu.ops.signed_distance import (  # noqa: E402
 )
 from interdiff_tpu.smpl.model import smpl_forward  # noqa: E402
 from interdiff_tpu.utils.checkpoint import load_correction_smpl  # noqa: E402
+from interdiff_tpu.utils.profiling import slope_time  # noqa: E402
 
 
-def bench(name, fn, *args, reps=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps * 1e3
-    print(f"{name:32s} {dt:8.2f} ms")
-    return dt
+def bench(name, op, x0, reps=5):
+    per = slope_time(op, x0, reps=reps)
+    print(f"{name:32s} {per:8.2f} ms", flush=True)
+    return per
 
 
 def main():
@@ -79,45 +77,37 @@ def main():
     markers = jnp.asarray(rng.standard_normal((B * T, 67, 3)), jnp.float32)
     obj_pts_bt = jnp.asarray(rng.standard_normal((B * T, P, 3)), jnp.float32)
 
-    print(f"shapes: B={B} T={T} Tf={Tf} V={V} P={P}")
+    print("platform:", jax.devices()[0].platform, flush=True)
+    print(f"shapes: B={B} T={T} Tf={Tf} V={V} P={P}", flush=True)
     total = 0.0
-    total += bench("rot6d->matrix+aa (body)", jax.jit(
-        lambda b: matrix_to_axis_angle(rotation_6d_to_matrix(b))), body6)
-    total += bench("smpl_forward (B*T bodies)", jax.jit(
-        lambda p, be, tr: smpl_forward(smpl, p, be, tr)[0]),
-        pose_full, betas, trans)
-    total += bench("vertex_normals (future)", jax.jit(
-        lambda v: vertex_normals(v, faces)), verts_fut)
+    total += bench("rot6d->matrix+aa (body)",
+                   lambda b: matrix_to_axis_angle(rotation_6d_to_matrix(b)),
+                   body6)
+    total += bench("smpl_forward (B*T bodies)",
+                   lambda p: smpl_forward(smpl, p, betas, trans)[0],
+                   pose_full)
+    total += bench("vertex_normals (future)",
+                   lambda v: vertex_normals(v, faces), verts_fut)
     normals_fut = jnp.asarray(rng.standard_normal((B * Tf, V, 3)),
                               jnp.float32)
-    total += bench("o2h fused signed-NN", jax.jit(
-        lambda a, b, n: signed_nearest(a, b, n, chunk=512)),
-        obj_fut, verts_fut, normals_fut)
-    total += bench("marker NN (67 x P)", jax.jit(
-        lambda a, b: nearest_neighbor(a, b, chunk=512)), markers, obj_pts_bt)
+    total += bench("o2h fused signed-NN",
+                   lambda a: signed_nearest(a, verts_fut, normals_fut,
+                                            chunk=512), obj_fut)
+    total += bench("marker NN (67 x P)",
+                   lambda a: nearest_neighbor(a, obj_pts_bt, chunk=512),
+                   markers)
 
     projector = ObjProjectorSmpl(past_len=args.past, future_len=args.future)
     pp, _ = load_correction_smpl()
     contact = jnp.zeros((B, 67), jnp.float32)
     obj9 = jnp.concatenate([obj6, trans.reshape(B, T, 3)], axis=-1)
-    total += bench("projector.sample", jax.jit(
-        lambda o, m, c: projector.apply(
-            pp, o, m.reshape(B, T, 67, 3), c,
-            method=ObjProjectorSmpl.sample)), obj9, markers, contact)
+    total += bench("projector.sample",
+                   lambda o: projector.apply(
+                       pp, o, markers.reshape(B, T, 67, 3), contact,
+                       method=ObjProjectorSmpl.sample), obj9)
 
-    print(f"{'TOTAL (one activation)':32s} {total:8.2f} ms")
-
-    # the superseded formulation, for the record: plain NN + two
-    # argmin-index gathers (what signed_nearest fuses away)
-    old = bench("(old) o2h NN only", jax.jit(
-        lambda a, b: nearest_neighbor(a, b, chunk=512)), obj_fut, verts_fut)
-    oidx = jnp.asarray(rng.integers(0, V, (B * Tf, P)), jnp.int32)
-    old += bench("(old) take_along_axis x2", jax.jit(
-        lambda v, i: (jnp.take_along_axis(v, i[..., None].repeat(3, -1),
-                                          axis=-2),
-                      jnp.take_along_axis(v, i[..., None].repeat(3, -1),
-                                          axis=-2))), verts_fut, oidx)
-    print(f"{'(old) NN+gathers total':32s} {old:8.2f} ms")
+    print(f"{'SUM of parts (one activation)':32s} {total:8.2f} ms",
+          flush=True)
 
     # ground truth: the FULL denoised_fn exactly as compiled into the scan
     from interdiff_tpu.eval.smpl_short import (
@@ -136,9 +126,12 @@ def main():
     x = jnp.asarray(rng.standard_normal((B, T, 144)), jnp.float32)
     t_active = jnp.full((B,), 50, jnp.int32)
     t_idle = jnp.full((B,), 51, jnp.int32)
-    jfn = jax.jit(dfn)
-    bench("FULL denoised_fn (active)", jfn, x, t_active)
-    bench("FULL denoised_fn (idle)", jfn, x, t_idle)
+    t_full = bench("FULL denoised_fn (active)",
+                   lambda xx: dfn(xx, t_active), x)
+    bench("FULL denoised_fn (idle)", lambda xx: dfn(xx, t_idle), x)
+    print(f"\nunattributed (full - parts) = {t_full - total:+.2f} ms "
+          f"({abs(t_full - total) / max(t_full, 1e-9) * 100:.1f}%)",
+          flush=True)
 
 
 if __name__ == "__main__":

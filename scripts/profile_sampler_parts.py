@@ -14,8 +14,17 @@ effort lands where the time actually goes:
 
 Run on the chip (no platform override):
     python scripts/profile_sampler_parts.py
+    python scripts/profile_sampler_parts.py --rows_sweep   # 64/128/320 rows
+
+The --rows_sweep mode settles the round-3 "latency-bound vs falling fold
+sweep" contradiction: if per-step ms is ~flat in rows, the step is
+dispatch/latency-bound and wider batches should win (so the fold sweep's
+decline hides something superlinear); if per-step ms grows ~proportionally,
+the 16-layer matmul chain is already throughput-limited at 64 rows and
+"latency-bound" is the wrong verdict for this topology.
 """
 
+import argparse
 import os
 import sys
 import time
@@ -135,6 +144,55 @@ def matmul_floor():
     bench("16-layer matmul-only chain (qkv+up+down)", chain, h0)
 
 
+def rows_sweep():
+    """Time the full 100-step scan at 64/128/320 rows (fold 2/4/10 of the
+    32-sequence best-of-10 eval).  Per-step ms vs rows is the evidence the
+    fold sweep can't give (seq/s mixes in host-side batching effects)."""
+    rng = np.random.default_rng(233)
+    model = MDMSmpl()
+    diffusion = GaussianDiffusion.create_named(
+        steps=1000, timestep_respacing="100")
+    print(f"{'rows':>6s} {'scan ms':>10s} {'ms/step':>9s} "
+          f"{'ms/step/64rows':>15s} {'rows*steps/ms':>14s}")
+    for rows in (64, 128, 320):
+        gt = jnp.asarray(rng.standard_normal((rows, T, 144)), jnp.float32)
+        obj_points = jnp.asarray(
+            rng.standard_normal((rows, 256, 6)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), gt, obj_points,
+                            jnp.zeros((rows,), jnp.int32),
+                            method=MDMSmpl.init_forward)
+        memory = jnp.asarray(
+            rng.standard_normal((rows, PAST, E)), jnp.float32)
+        mask = jnp.zeros((rows, T, 144), bool).at[:, :PAST].set(True)
+
+        @jax.jit
+        def full(key, gt=gt, params=params, memory=memory, mask=mask):
+            def model_fn(xx, ts):
+                return model.apply(params, xx, ts, memory)
+
+            return diffusion.p_sample_loop(model_fn, key, (rows, T, 144),
+                                           inpaint=Inpaint(mask, gt))
+
+        out = full(jax.random.PRNGKey(0))
+        jax.block_until_ready(out)
+        reps = 5
+        t0 = time.perf_counter()
+        for i in range(reps):  # unique keys: dodge the tunnel memoization
+            out = full(jax.random.PRNGKey(i + 1))
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps * 1e3
+        per = dt / 100
+        print(f"{rows:6d} {dt:10.2f} {per:9.3f} "
+              f"{per / (rows / 64):15.3f} {rows * 100 / dt:14.1f}",
+              flush=True)
+
+
 if __name__ == "__main__":
-    main()
-    matmul_floor()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows_sweep", action="store_true")
+    args = ap.parse_args()
+    if args.rows_sweep:
+        rows_sweep()
+    else:
+        main()
+        matmul_floor()

@@ -1,12 +1,21 @@
 """Decompose the SMPL diffusion train step (the INTERDIFF_BENCH_TRAIN
 graph) into its subgraphs and time each on the real chip.
 
-bench.py reports the train step hbm-bound at ~85% of the HBM roof
-(B=32, T=35, P=1024 synthetic batch).  This script isolates where the
-bytes/time go so optimization lands on the real hog:
+All timings are SLOPE-based: each part runs K-chained inside one jitted
+`fori_loop` at K=1 and K=9 and the per-iteration cost is the slope
+(t9 - t1) / 8.  This cancels the per-dispatch overhead (tunnel RTT +
+launch fixed cost, ~1-2 ms each) that polluted the round-3 standalone
+numbers — e.g. "AdamW 14 ms" for a ~10M-param update whose HBM cost at
+the 819 GB/s roof is ~0.3 ms.  With slope timing the parts sum to the
+full step within the cross-part fusion slack (~10%), which standalone
+dispatch timing structurally cannot achieve (round-3 verdict item 5:
+69.9 ms of parts vs a 57.3 ms step).
+
+Parts (full step = encoder fwd+bwd + denoiser fwd+bwd + loss + AdamW,
+because the train loss differentiates through BOTH model halves):
 
   * full step (reference point, = bench mode)
-  * PointNet++ encode fwd / fwd+bwd   (ball-query [B,1024,1024] d2 + gathers)
+  * PointNet++ encode fwd / fwd+bwd  (fused Pallas ball-query+group path)
   * transformer denoiser fwd / fwd+bwd (memory precomputed)
   * 16-term loss pyramid alone
   * AdamW update alone
@@ -41,27 +50,65 @@ from interdiff_tpu.train.trainer import (  # noqa: E402
     smpl_cond_inputs,
 )
 
+K_LO, K_HI = 1, 9
 
-def bench(name, fn, *args, reps=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps * 1e3
-    print(f"{name:36s} {dt:8.2f} ms")
-    return dt
+
+def _mix(x, out):
+    """Fold a data dependency on `out` into the loop carry `x` (keeps the
+    chained iterations sequential without changing the carried value)."""
+    leaves = [l for l in jax.tree.leaves(out)
+              if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)]
+    s = sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
+    return jax.tree.map(
+        lambda v: v * (1.0 + 1e-12 * s)
+        if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+        else v, x)
+
+
+def chain(name, op, x0, reps=5):
+    """Slope-timed per-op ms.  Each dispatch gets a uniquely perturbed
+    carry (the axon tunnel memoizes results by argument values — identical
+    repeat dispatches can report absurd sub-ms times)."""
+
+    def run_k(k):
+        @jax.jit
+        def g(x):
+            def body(_, x):
+                return _mix(x, op(x))
+            return jax.lax.fori_loop(0, k, body, x)
+
+        def perturb(x, eps):
+            return jax.tree.map(
+                lambda v: v * (1.0 + eps)
+                if hasattr(v, "dtype") and jnp.issubdtype(v.dtype,
+                                                          jnp.floating)
+                else v, x)
+
+        variants = [perturb(x0, 1e-6 * (i + k)) for i in range(reps + 1)]
+        out = g(variants[0])
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for v in variants[1:]:
+            out = g(v)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    t_lo, t_hi = run_k(K_LO), run_k(K_HI)
+    per = (t_hi - t_lo) / (K_HI - K_LO)
+    print(f"{name:36s} {per:8.2f} ms   (T1={t_lo:7.2f}  T9={t_hi:7.2f})",
+          flush=True)
+    return per
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--points", type=int, default=1024)
-    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
     B, T, P = args.batch, 35, args.points
 
+    print("platform:", jax.devices()[0].platform, flush=True)
     rng = np.random.default_rng(233)
     model = MDMSmpl()
     diffusion = GaussianDiffusion.create_named(steps=1000)
@@ -84,67 +131,67 @@ def main():
     state = TrainState.create(params, adamw(3e-4))
     key = jax.random.PRNGKey(1)
     gt, obj_points = smpl_cond_inputs(batch)
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
+    print(f"params: {n_params/1e6:.2f} M", flush=True)
 
-    # --- full step (bench reference) --------------------------------------
-    step = jax.jit(make_smpl_train_step(model, diffusion))
-    bench("full train step", lambda: step(state, batch, key)[1]["loss"],
-          reps=args.reps)
+    # --- full step (bench reference): chain the TrainState ------------------
+    raw_step = make_smpl_train_step(model, diffusion)
 
-    # --- encoder ------------------------------------------------------------
+    t_full = chain("full train step",
+                   lambda st: raw_step(st, batch, key)[0], state,
+                   reps=args.reps)
+
+    # --- encoder -------------------------------------------------------------
     @jax.jit
     def enc_fwd(params, gt, obj_points):
         return model.apply(params, gt, obj_points, method=MDMSmpl.encode)
 
     memory = enc_fwd(params, gt, obj_points)
-    bench("pointnet encode fwd", lambda: enc_fwd(params, gt, obj_points),
-          reps=args.reps)
+    chain("pointnet encode fwd",
+          lambda g: enc_fwd(params, g, obj_points), gt, reps=args.reps)
 
-    @jax.jit
-    def enc_grad(params, gt, obj_points):
+    def enc_grad(g):
         return jax.grad(
-            lambda p: jnp.sum(model.apply(p, gt, obj_points,
+            lambda p: jnp.sum(model.apply(p, g, obj_points,
                                           method=MDMSmpl.encode)))(params)
 
-    bench("pointnet encode fwd+bwd",
-          lambda: enc_grad(params, gt, obj_points), reps=args.reps)
+    t_enc = chain("pointnet encode fwd+bwd", enc_grad, gt, reps=args.reps)
 
-    # --- denoiser (memory given) --------------------------------------------
-    t = jnp.full((B,), 500, jnp.int32)
+    # --- denoiser (memory given) ----------------------------------------------
+    t_step = jnp.full((B,), 500, jnp.int32)
 
-    @jax.jit
-    def den_fwd(params, x, t, memory):
-        return model.apply(params, x, t, memory)
-
-    bench("denoiser fwd", lambda: den_fwd(params, gt, t, memory),
+    chain("denoiser fwd",
+          lambda x: model.apply(params, x, t_step, memory), gt,
           reps=args.reps)
 
-    @jax.jit
-    def den_grad(params, x, t, memory):
+    def den_grad(x):
         return jax.grad(
-            lambda p: jnp.sum(model.apply(p, x, t, memory)))(params)
+            lambda p: jnp.sum(model.apply(p, x, t_step, memory)))(params)
 
-    bench("denoiser fwd+bwd", lambda: den_grad(params, gt, t, memory),
-          reps=args.reps)
+    t_den = chain("denoiser fwd+bwd", den_grad, gt, reps=args.reps)
 
-    # --- loss pyramid ---------------------------------------------------------
-    @jax.jit
-    def loss_only(pred, target):
+    # --- loss pyramid -----------------------------------------------------------
+    def loss_only(pred):
         per_sample, _ = smpl_diffusion_losses(
-            pred, target, past_len=model.past_len, smpl_dim=model.smpl_dim)
+            pred, gt * 0.9, past_len=model.past_len, smpl_dim=model.smpl_dim)
         return jnp.mean(per_sample)
 
-    bench("16-term loss pyramid", lambda: loss_only(gt, gt * 0.9),
-          reps=args.reps)
+    t_loss = chain("16-term loss pyramid", loss_only, gt, reps=args.reps)
 
-    # --- optimizer update -------------------------------------------------------
+    # --- optimizer update: chain the state -----------------------------------
     grads = jax.tree.map(jnp.ones_like, params)
 
-    @jax.jit
-    def opt_only(state, grads):
-        return state.apply_gradients(grads)
+    t_opt = chain("adamw apply_gradients",
+                  lambda st: st.apply_gradients(grads), state,
+                  reps=args.reps)
 
-    bench("adamw apply_gradients", lambda: opt_only(state, grads),
-          reps=args.reps)
+    parts = t_enc + t_den + t_loss + t_opt
+    print(f"\nsum(enc_bwd+den_bwd+loss+adamw) = {parts:.2f} ms "
+          f"vs full step {t_full:.2f} ms "
+          f"(unattributed {t_full - parts:+.2f} ms, "
+          f"{abs(t_full - parts) / t_full * 100:.1f}%)", flush=True)
+    print(f"train throughput: {B / t_full * 1e3:.1f} seq/s "
+          f"({1e3 / t_full:.1f} steps/s at B={B})", flush=True)
 
 
 if __name__ == "__main__":
