@@ -40,7 +40,8 @@ def _cost_analysis(compiled) -> dict:
     return dict(ca) if ca else {}
 
 
-def _perf_fields(compiled, calls_per_sec: float) -> dict:
+def _perf_fields(compiled, calls_per_sec: float,
+                 custom_flops: float = 0.0) -> dict:
     """Roofline accounting for the hot executable: achieved FLOP/s, MFU and
     HBM-bandwidth utilisation vs the chip roofs, plus the identified bound.
 
@@ -52,16 +53,23 @@ def _perf_fields(compiled, calls_per_sec: float) -> dict:
     dispatch/serialisation of the scan dominates, the regime this
     d_model-256 denoiser lives in.
 
-    Caveat: XLA's counter treats custom calls as zero-cost, so graphs
-    embedding Pallas kernels (the correction-in-scan signed-NN) UNDERCOUNT
-    flops/bytes — their `mfu` is a floor, not an estimate.
+    XLA's counter treats custom calls as zero-cost, so modes embedding
+    Pallas kernels pass an analytic ``custom_flops`` estimate per call
+    (reported separately as ``custom_call_flops_per_call`` and folded into
+    the totals).  Those FLOPs execute on the VPU, not the MXU — when they
+    dominate and the graph still sits below the MXU/HBM roofs the bound is
+    reported as "vpu" (the VPU's peak is ~1-2 orders below the MXU's, so
+    MXU-relative `mfu` deliberately understates how busy the chip is;
+    `hbm_gbs` likewise excludes the custom calls' VMEM streaming).
     """
     ca = _cost_analysis(compiled)
-    flops = ca.get("flops", 0.0)
+    flops = ca.get("flops", 0.0) + custom_flops
     byts = ca.get("bytes accessed", 0.0)
     peak_tf = float(os.environ.get("INTERDIFF_BENCH_PEAK_TFLOPS", "197"))
     hbm_peak = float(os.environ.get("INTERDIFF_BENCH_HBM_GBS", "819"))
     out = {}
+    if custom_flops > 0:
+        out["custom_call_flops_per_call"] = custom_flops
     if flops > 0:
         achieved = flops * calls_per_sec
         out["flops_per_call"] = flops
@@ -73,7 +81,9 @@ def _perf_fields(compiled, calls_per_sec: float) -> dict:
         out["hbm_util"] = round(bw / (hbm_peak * 1e9), 5)
     if flops > 0 and byts > 0:
         mfu, hu = out["mfu"], out["hbm_util"]
-        if max(mfu, hu) < 0.05:
+        if custom_flops > flops / 2 and max(mfu, hu) < 0.05:
+            out["bound"] = "vpu (custom-call)"
+        elif max(mfu, hu) < 0.05:
             out["bound"] = "latency"
         else:
             out["bound"] = "hbm" if hu >= mfu else "mxu"
@@ -402,7 +412,19 @@ def measure_tpu_correction() -> float:
                        hand, betas, memory)
     out.block_until_ready()
     dt = time.perf_counter() - t0
-    return B * n_rep / dt, _perf_fields(compiled, n_rep / dt)
+
+    # analytic FLOPs of the Pallas sweeps XLA counts as zero (item: MFU
+    # floor).  Per correction activation the fused signed-NN visits
+    # (B*Tf)*P*V pairs at ~20 VPU flops each (two 3-FMA row-dot chains +
+    # score/min/select, `ops/pallas_nn.py::_signed_nn_kernel`) and the
+    # 67-marker NN (B*T)*67*P pairs at ~10 (`_nn_kernel`).
+    n_act = sum(1 for t in range(diffusion.num_timesteps)
+                if t <= cfg.correction_t_max
+                and t % cfg.correction_every == 0)
+    custom = n_act * (B * cfg.future_len * P_corr * V * 20.0
+                      + B * cfg.seq_len * 67 * P_corr * 10.0)
+    return B * n_rep / dt, _perf_fields(compiled, n_rep / dt,
+                                        custom_flops=custom)
 
 
 def measure_tpu_skeleton():
