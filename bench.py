@@ -49,9 +49,14 @@ def _perf_fields(compiled, calls_per_sec: float,
     the platform quantises f32 matmuls to bf16 by default, see CLAUDE.md;
     INTERDIFF_BENCH_HBM_GBS=819).  FLOPs/bytes come from XLA's cost model
     on the post-fusion graph, so `hbm_gbs` approximates true HBM traffic.
-    A graph sitting far from BOTH roofs is latency-bound — per-step
-    dispatch/serialisation of the scan dominates, the regime this
-    d_model-256 denoiser lives in.
+    A graph sitting far from BOTH roofs gets "occupancy (small-op)":
+    the d_model-256 denoiser's serial chain of small matmuls/layernorms
+    can't fill the MXU or the HBM pipe, and the measured rows sweep
+    (scripts/profile_sampler_parts.py --rows_sweep, v5e: 0.864 / 0.949 /
+    1.058 ms per 64 rows at 64/128/320 rows) shows per-row cost RISING
+    with batch — so widening the batch cannot recover the headroom and
+    the bound is on-chip per-op execution at tiny dims, NOT host/dispatch
+    latency (which flat per-step times would have indicated).
 
     XLA's counter treats custom calls as zero-cost, so modes embedding
     Pallas kernels pass an analytic ``custom_flops`` estimate per call
@@ -84,7 +89,7 @@ def _perf_fields(compiled, calls_per_sec: float,
         if custom_flops > flops / 2 and max(mfu, hu) < 0.05:
             out["bound"] = "vpu (custom-call)"
         elif max(mfu, hu) < 0.05:
-            out["bound"] = "latency"
+            out["bound"] = "occupancy (small-op)"
         else:
             out["bound"] = "hbm" if hu >= mfu else "mxu"
     return out
@@ -144,9 +149,12 @@ def measure_tpu():
     # --diverse_fold 2` do): encode the conditioning once per clip batch,
     # tile it, and run the p_sample_loop over fold*B sequences per call.
     # Measured on v5e: fold=2 (64 seq/call) 599.9, fold=4 586.6, fold=10
-    # 555.2, fold=1 532.8 seq/s — the scan is latency-bound and 64 rows/call
-    # is the sweet spot.  Override with INTERDIFF_BENCH_DIVERSE=1 for the
-    # sequential per-sample mode.
+    # 555.2, fold=1 532.8 seq/s.  The rows sweep (profile_sampler_parts
+    # --rows_sweep: 0.864/0.949/1.058 ms per 64 rows at 64/128/320 rows)
+    # explains the fold-2 peak: per-row cost RISES with batch, so beyond
+    # amortising the fixed per-call cost there is nothing to harvest by
+    # widening — 64 rows/call is the occupancy sweet spot.  Override with
+    # INTERDIFF_BENCH_DIVERSE=1 for the sequential per-sample mode.
     n_div = int(os.environ.get("INTERDIFF_BENCH_DIVERSE", "2"))
     if n_div > 1:
         from interdiff_tpu.parallel.sample_parallel import (

@@ -53,10 +53,27 @@ def slope_time(op, x0, *, k_lo: int = 1, k_hi: int = 9, reps: int = 5
     argument value, so identical repeat dispatches report absurd sub-ms
     times.
 
+    Measurement discipline (learned the hard way on the tunnel):
+
+      * every dispatch is individually ``block_until_ready``-ed — letting
+        reps queue asynchronously and blocking only on the last one
+        reported physically impossible numbers (9-chained encoder
+        fwd+bwd "completing" in 0.12 ms) because the tunnel acks queued
+        work long before it executes;
+      * the per-rep statistic is the MEDIAN, not the mean — a single
+        tunnel hiccup (observed: a 55 ms outlier on a ~1 ms AdamW
+        dispatch) otherwise drives the slope negative.
+
+    The per-dispatch block costs one RTT per rep, but the RTT is the
+    same at ``k_lo`` and ``k_hi`` so it cancels in the slope exactly like
+    the launch overhead does.
+
     ``op`` maps the carry pytree to any output pytree; a tiny data
     dependency on the output is folded back into the carry to keep chained
     iterations sequential without changing the carried value.
     """
+    import statistics
+
     import jax.numpy as jnp
 
     def _is_float(v):
@@ -78,13 +95,13 @@ def slope_time(op, x0, *, k_lo: int = 1, k_hi: int = 9, reps: int = 5
             return jax.lax.fori_loop(0, k, lambda _, x: _mix(x, op(x)), x)
 
         variants = [_perturb(x0, 1e-6 * (i + k)) for i in range(reps + 1)]
-        out = g(variants[0])
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
+        jax.block_until_ready(g(variants[0]))  # compile + warm
+        times = []
         for v in variants[1:]:
-            out = g(v)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / reps * 1e3
+            t0 = time.perf_counter()
+            jax.block_until_ready(g(v))
+            times.append((time.perf_counter() - t0) * 1e3)
+        return statistics.median(times)
 
     t_lo, t_hi = run_k(k_lo), run_k(k_hi)
     return (t_hi - t_lo) / (k_hi - k_lo)

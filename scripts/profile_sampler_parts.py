@@ -2,7 +2,7 @@
 
 bench.py measures ~1.05 ms per reverse-diffusion step at the eval layout
 (64 rows x 35 tokens, d 256, 8-layer cross-attn decoder) and the roofline
-fields say the scan sits at 0.16% MFU / 1.2% HBM — latency-bound.  This
+fields say the scan sits at 0.16% MFU / 1.2% HBM — far from both roofs.  This
 script times the step's constituents in isolation so any kernel-fusion
 effort lands where the time actually goes:
 
@@ -16,12 +16,13 @@ Run on the chip (no platform override):
     python scripts/profile_sampler_parts.py
     python scripts/profile_sampler_parts.py --rows_sweep   # 64/128/320 rows
 
-The --rows_sweep mode settles the round-3 "latency-bound vs falling fold
-sweep" contradiction: if per-step ms is ~flat in rows, the step is
-dispatch/latency-bound and wider batches should win (so the fold sweep's
-decline hides something superlinear); if per-step ms grows ~proportionally,
-the 16-layer matmul chain is already throughput-limited at 64 rows and
-"latency-bound" is the wrong verdict for this topology.
+The --rows_sweep mode settled the round-3 "latency-bound vs falling fold
+sweep" contradiction: if per-step ms were ~flat in rows, the step would be
+dispatch/latency-bound and wider batches should win; instead the v5e
+measurement shows per-row cost RISING with width (0.864 / 0.949 / 1.058 ms
+per 64 rows at 64/128/320 rows, i.e. 74.1 → 67.5 → 60.5 rows·steps/ms) —
+the chain is throughput-limited at 64 rows already and the correct verdict
+is "occupancy-bound on small serial ops" (bench.py now reports it as such).
 """
 
 import argparse

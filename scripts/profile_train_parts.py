@@ -1,15 +1,18 @@
 """Decompose the SMPL diffusion train step (the INTERDIFF_BENCH_TRAIN
 graph) into its subgraphs and time each on the real chip.
 
-All timings are SLOPE-based: each part runs K-chained inside one jitted
-`fori_loop` at K=1 and K=9 and the per-iteration cost is the slope
-(t9 - t1) / 8.  This cancels the per-dispatch overhead (tunnel RTT +
-launch fixed cost, ~1-2 ms each) that polluted the round-3 standalone
-numbers — e.g. "AdamW 14 ms" for a ~10M-param update whose HBM cost at
-the 819 GB/s roof is ~0.3 ms.  With slope timing the parts sum to the
-full step within the cross-part fusion slack (~10%), which standalone
-dispatch timing structurally cannot achieve (round-3 verdict item 5:
-69.9 ms of parts vs a 57.3 ms step).
+All timings are SLOPE-based via `utils/profiling.slope_time`: each part
+runs K-chained inside one jitted `fori_loop` at K=1 and K=9 and the
+per-iteration cost is the slope (t9 - t1) / 8.  This cancels the
+per-dispatch overhead (tunnel RTT + launch fixed cost, ~1-2 ms each)
+that polluted the round-3 standalone numbers — e.g. "AdamW 14 ms" for a
+~10M-param update whose HBM cost at the 819 GB/s roof is ~0.3 ms.  With
+slope timing the parts sum to the full step within the cross-part
+fusion slack (~10%), which standalone dispatch timing structurally
+cannot achieve (round-3 verdict item 5: 69.9 ms of parts vs a 57.3 ms
+step).  slope_time blocks every dispatch and takes the median — the
+first (async-queued, mean-based) version of this script reported
+negative slopes.
 
 Parts (full step = encoder fwd+bwd + denoiser fwd+bwd + loss + AdamW,
 because the train loss differentiates through BOTH model halves):
@@ -27,8 +30,6 @@ Run on the chip (no platform override):
 import argparse
 import os
 import sys
-import time
-
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -43,6 +44,7 @@ import jax.numpy as jnp  # noqa: E402
 from interdiff_tpu.diffusion.gaussian import GaussianDiffusion  # noqa: E402
 from interdiff_tpu.models.mdm_smpl import MDMSmpl  # noqa: E402
 from interdiff_tpu.train.losses import smpl_diffusion_losses  # noqa: E402
+from interdiff_tpu.utils.profiling import slope_time  # noqa: E402
 from interdiff_tpu.train.trainer import (  # noqa: E402
     TrainState,
     adamw,
@@ -50,53 +52,10 @@ from interdiff_tpu.train.trainer import (  # noqa: E402
     smpl_cond_inputs,
 )
 
-K_LO, K_HI = 1, 9
-
-
-def _mix(x, out):
-    """Fold a data dependency on `out` into the loop carry `x` (keeps the
-    chained iterations sequential without changing the carried value)."""
-    leaves = [l for l in jax.tree.leaves(out)
-              if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)]
-    s = sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
-    return jax.tree.map(
-        lambda v: v * (1.0 + 1e-12 * s)
-        if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
-        else v, x)
-
-
 def chain(name, op, x0, reps=5):
-    """Slope-timed per-op ms.  Each dispatch gets a uniquely perturbed
-    carry (the axon tunnel memoizes results by argument values — identical
-    repeat dispatches can report absurd sub-ms times)."""
-
-    def run_k(k):
-        @jax.jit
-        def g(x):
-            def body(_, x):
-                return _mix(x, op(x))
-            return jax.lax.fori_loop(0, k, body, x)
-
-        def perturb(x, eps):
-            return jax.tree.map(
-                lambda v: v * (1.0 + eps)
-                if hasattr(v, "dtype") and jnp.issubdtype(v.dtype,
-                                                          jnp.floating)
-                else v, x)
-
-        variants = [perturb(x0, 1e-6 * (i + k)) for i in range(reps + 1)]
-        out = g(variants[0])
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for v in variants[1:]:
-            out = g(v)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / reps * 1e3
-
-    t_lo, t_hi = run_k(K_LO), run_k(K_HI)
-    per = (t_hi - t_lo) / (K_HI - K_LO)
-    print(f"{name:36s} {per:8.2f} ms   (T1={t_lo:7.2f}  T9={t_hi:7.2f})",
-          flush=True)
+    """Slope-timed per-op ms (see utils/profiling.slope_time)."""
+    per = slope_time(op, x0, reps=reps)
+    print(f"{name:36s} {per:8.2f} ms", flush=True)
     return per
 
 
