@@ -27,6 +27,7 @@ Run on the chip:  python scripts/profile_pointnet_parts.py
 
 import argparse
 import os
+import statistics
 import sys
 import time
 
@@ -62,29 +63,15 @@ def _mix(x, out):
 
 
 def chain(name, op, x0, reps=5):
-    """op: perturbable_input -> output pytree.  Returns slope ms."""
+    """op: perturbable_input -> output pytree.  Returns slope ms.
 
-    def run_k(k):
-        @jax.jit
-        def g(x):
-            def body(_, x):
-                return _mix(x, op(x))
-            return jax.lax.fori_loop(0, k, body, x)
+    Delegates to utils/profiling.slope_time, which blocks EVERY dispatch
+    (async-queued reps get acked by the tunnel before executing) and takes
+    the median per rep (single tunnel hiccups otherwise skew the slope)."""
+    from interdiff_tpu.utils.profiling import slope_time
 
-        # unique arg per dispatch: defeat the tunnel's result memo
-        variants = [x0 * (1.0 + 1e-6 * (i + k)) for i in range(reps + 1)]
-        out = g(variants[0])
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for v in variants[1:]:
-            out = g(v)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / reps * 1e3
-
-    t_lo, t_hi = run_k(K_LO), run_k(K_HI)
-    per = (t_hi - t_lo) / (K_HI - K_LO)
-    print(f"{name:46s} {per:8.2f} ms   (T1={t_lo:7.2f}  T9={t_hi:7.2f})",
-          flush=True)
+    per = slope_time(op, x0, k_lo=K_LO, k_hi=K_HI, reps=reps)
+    print(f"{name:46s} {per:8.2f} ms", flush=True)
     return per
 
 
@@ -214,13 +201,13 @@ def main():
                     state0.params)
                 return state0.replace(params=p)
 
-            out = g(variant(k * 100))
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
+            jax.block_until_ready(g(variant(k * 100)))  # compile + warm
+            times = []
             for i in range(reps):
-                out = g(variant(k * 100 + i + 1))
-            jax.block_until_ready(out)
-            return (time.perf_counter() - t0) / reps * 1e3
+                t0 = time.perf_counter()
+                jax.block_until_ready(g(variant(k * 100 + i + 1)))
+                times.append((time.perf_counter() - t0) * 1e3)
+            return statistics.median(times)
 
         t_lo, t_hi = run_k(K_LO), run_k(K_HI)
         per = (t_hi - t_lo) / (K_HI - K_LO)
