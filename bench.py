@@ -527,7 +527,12 @@ def measure_tpu_skeleton_correction():
     )
 
     rng = np.random.default_rng(233)
-    cfg = SkeletonEvalConfig()
+    # rescale the correction gate to the respaced index axis, like the SMPL
+    # mode: the reference fires at raw t in {0,50,...,500} of 1000 steps
+    # (11 activations, `eval_skeleton.py:86`); at respacing=100 the scan
+    # sees indices 0..99, so t_max=500/every=50 would fire only twice and
+    # overstate throughput ~5x.
+    cfg = SkeletonEvalConfig(correction_t_max=50, correction_every=5)
     model = MDMSkeleton()
     projector = ObjProjectorSkeleton()
     respacing = os.environ.get("INTERDIFF_BENCH_RESPACING", str(STEPS))

@@ -124,9 +124,11 @@ def make_skeleton_sampler(
 
     if reuse_memory:
         def sample_mem(params, key, skeleton, obj_points, poses,
-                       zero_pose_obj, memory, gt):
+                       zero_pose_obj, memory, gt, noise=None,
+                       step_noise=None):
             return _run(params, key, skeleton, obj_points, poses,
-                        zero_pose_obj, memory, gt)
+                        zero_pose_obj, memory, gt, noise=noise,
+                        step_noise=step_noise)
 
         return sample_mem
 

@@ -76,7 +76,13 @@ class SAModuleMSG(nn.Module):
         from interdiff_tpu.ops.pallas_nn import on_tpu
 
         c_data = 3 + (0 if features is None else features.shape[-1])
-        fused = c_data <= _MAX_C and (on_tpu() or _FORCE_PALLAS_INTERPRET)
+        # mirror _fused_impl's full gate (incl. dtype): otherwise a non-f32
+        # input would build the transposed d2 only for the kernel to fall
+        # back and recompute distances once per radius scale
+        data_dtype = (xyz.dtype if features is None else
+                      jnp.promote_types(xyz.dtype, features.dtype))
+        fused = (c_data <= _MAX_C and data_dtype == jnp.float32
+                 and (on_tpu() or _FORCE_PALLAS_INTERPRET))
         d2 = (pairwise_sqdist_t(xyz, new_xyz) if fused
               else pairwise_sqdist(new_xyz, xyz))
         outs = []

@@ -34,36 +34,15 @@ from interdiff_tpu.ops.pointcloud import pairwise_sqdist, query_and_group  # noq
 K_LO, K_HI = 1, 9
 
 
-def _mix(x, out):
-    leaves = jax.tree.leaves(out)
-    s = sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
-    return x * (1.0 + 1e-12 * s)
-
-
 def chain(name, op, x0, reps=5):
-    """Slope-timed per-op ms (tunnel memo + RTT cancel; see
-    profile_pointnet_parts.py)."""
+    """Slope-timed per-op ms: delegates to utils/profiling.slope_time,
+    which blocks EVERY dispatch (async-queued reps get acked by the tunnel
+    before executing) and takes the median per rep (a single tunnel hiccup
+    otherwise skews the slope)."""
+    from interdiff_tpu.utils.profiling import slope_time
 
-    def run_k(k):
-        @jax.jit
-        def g(x):
-            def body(_, x):
-                return _mix(x, op(x))
-            return jax.lax.fori_loop(0, k, body, x)
-
-        variants = [x0 * (1.0 + 1e-6 * (i + k)) for i in range(reps + 1)]
-        out = g(variants[0])
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for v in variants[1:]:
-            out = g(v)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / reps * 1e3
-
-    t_lo, t_hi = run_k(K_LO), run_k(K_HI)
-    per = (t_hi - t_lo) / (K_HI - K_LO)
-    print(f"{name:52s} {per:8.2f} ms   (T1={t_lo:7.2f}  T9={t_hi:7.2f})",
-          flush=True)
+    per = slope_time(op, x0, k_lo=K_LO, k_hi=K_HI, reps=reps)
+    print(f"{name:52s} {per:8.2f} ms", flush=True)
     return per
 
 

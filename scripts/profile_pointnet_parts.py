@@ -54,14 +54,6 @@ from interdiff_tpu.ops.pointcloud import (  # noqa: E402
 K_LO, K_HI = 1, 9
 
 
-def _mix(x, out):
-    """Scalar feedback: makes iteration i+1 depend on iteration i's output
-    without changing the op's input distribution (eps*mean ~ 1e-12)."""
-    leaves = jax.tree.leaves(out)
-    s = sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
-    return x * (1.0 + 1e-12 * s)
-
-
 def chain(name, op, x0, reps=5):
     """op: perturbable_input -> output pytree.  Returns slope ms.
 

@@ -174,14 +174,16 @@ def rows_sweep():
             return diffusion.p_sample_loop(model_fn, key, (rows, T, 144),
                                            inpaint=Inpaint(mask, gt))
 
-        out = full(jax.random.PRNGKey(0))
-        jax.block_until_ready(out)
-        reps = 5
-        t0 = time.perf_counter()
-        for i in range(reps):  # unique keys: dodge the tunnel memoization
-            out = full(jax.random.PRNGKey(i + 1))
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / reps * 1e3
+        jax.block_until_ready(full(jax.random.PRNGKey(0)))
+        # block EVERY dispatch and take the median: async-queued reps let
+        # the tunnel ack work before executing it, and one tunnel hiccup
+        # corrupts a mean (same lesson as utils/profiling.slope_time)
+        times = []
+        for i in range(5):  # unique keys: dodge the tunnel memoization
+            t0 = time.perf_counter()
+            jax.block_until_ready(full(jax.random.PRNGKey(i + 1)))
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2] * 1e3
         per = dt / 100
         print(f"{rows:6d} {dt:10.2f} {per:9.3f} "
               f"{per / (rows / 64):15.3f} {rows * 100 / dt:14.1f}",

@@ -6,22 +6,22 @@ runs K-chained inside one jitted `fori_loop` at K=1 and K=9 and the
 per-iteration cost is the slope (t9 - t1) / 8.  This cancels the
 per-dispatch overhead (tunnel RTT + launch fixed cost, ~1-2 ms each)
 that polluted the round-3 standalone numbers — e.g. "AdamW 14 ms" for a
-~10M-param update whose HBM cost at the 819 GB/s roof is ~0.3 ms.  With
-slope timing the parts sum to the full step within the cross-part
-fusion slack (~10%), which standalone dispatch timing structurally
-cannot achieve (round-3 verdict item 5: 69.9 ms of parts vs a 57.3 ms
-step).  slope_time blocks every dispatch and takes the median — the
-first (async-queued, mean-based) version of this script reported
-negative slopes.
+~10M-param update whose HBM cost at the 819 GB/s roof is ~0.3 ms.
+slope_time blocks every dispatch and takes the median — the first
+(async-queued, mean-based) version of this script reported negative
+slopes.
 
-Parts (full step = encoder fwd+bwd + denoiser fwd+bwd + loss + AdamW,
-because the train loss differentiates through BOTH model halves):
+Two accountings are printed:
 
-  * full step (reference point, = bench mode)
-  * PointNet++ encode fwd / fwd+bwd  (fused Pallas ball-query+group path)
-  * transformer denoiser fwd / fwd+bwd (memory precomputed)
-  * 16-term loss pyramid alone
-  * AdamW update alone
+  * STANDALONE subgraph timings (enc fwd / fwd+bwd, denoiser fwd /
+    fwd+bwd, loss, adamw) — serialized upper bounds.  These need NOT sum
+    to the full step: measured round 4, they sum to 23.5 ms against a
+    14.6 ms step, because XLA schedules the ~150 per-leaf adamw update
+    kernels and the backward differently when they live in one program.
+  * a MARGINAL LADDER of nested graphs L0 (loss fwd) ⊂ L1 (+backward) ⊂
+    L2 (+adamw ≈ full step): rung differences are in-context marginal
+    costs and partition the step by construction (round-3 verdict
+    item 5's subtraction-based attribution).
 
 Run on the chip (no platform override):
     python scripts/profile_train_parts.py [--batch 32 --points 1024]
@@ -49,6 +49,7 @@ from interdiff_tpu.train.trainer import (  # noqa: E402
     TrainState,
     adamw,
     make_smpl_train_step,
+    sample_timesteps,
     smpl_cond_inputs,
 )
 
@@ -145,10 +146,43 @@ def main():
                   reps=args.reps)
 
     parts = t_enc + t_den + t_loss + t_opt
-    print(f"\nsum(enc_bwd+den_bwd+loss+adamw) = {parts:.2f} ms "
-          f"vs full step {t_full:.2f} ms "
-          f"(unattributed {t_full - parts:+.2f} ms, "
-          f"{abs(t_full - parts) / t_full * 100:.1f}%)", flush=True)
+    print(f"\nsum of STANDALONE parts = {parts:.2f} ms vs full step "
+          f"{t_full:.2f} ms — standalone numbers are serialized upper "
+          "bounds of subgraphs XLA schedules differently in context; "
+          "attribution below uses the subtraction ladder instead",
+          flush=True)
+
+    # --- marginal ladder: nested graphs L0 ⊂ L1 ⊂ L2 ≈ full step, so the
+    # differences are each stage's IN-CONTEXT marginal cost and the rungs
+    # partition the step by construction (round-4 measurement: standalone
+    # parts summed to 23.5 ms against a 14.6 ms step — adamw's per-leaf
+    # update kernels schedule under the backward in the full program).
+    def ladder_loss(params):
+        k_t, k_noise = jax.random.split(key)
+        memory2 = model.apply(params, gt, obj_points, method=MDMSmpl.encode)
+        t, w = sample_timesteps(k_t, gt.shape[0], diffusion.num_timesteps)
+        noise = jax.random.normal(k_noise, gt.shape, gt.dtype)
+        pred, target = diffusion.training_losses(
+            lambda x, ts: model.apply(params, x, ts, memory2), gt, t,
+            noise=noise)
+        per_sample, _ = smpl_diffusion_losses(
+            pred, target, past_len=model.past_len, smpl_dim=model.smpl_dim)
+        return jnp.mean(per_sample * w)
+
+    l0 = chain("ladder L0 loss fwd", lambda st: ladder_loss(st.params),
+               state, reps=args.reps)
+    l1 = chain("ladder L1 +backward",
+               lambda st: jax.grad(ladder_loss)(st.params), state,
+               reps=args.reps)
+    l2 = chain("ladder L2 +adamw (~full)",
+               lambda st: st.apply_gradients(jax.grad(ladder_loss)(st.params)),
+               state, reps=args.reps)
+    print(f"\nmarginal attribution: fwd {l0:.2f} ms "
+          "(split: standalone enc/den/loss fwd rows above), "
+          f"backward +{l1 - l0:.2f} ms, adamw +{l2 - l1:.2f} ms; "
+          f"ladder total {l2:.2f} ms vs full step {t_full:.2f} ms "
+          f"({(l2 - t_full) / t_full * 100:+.1f}% — ladder omits the "
+          "metrics/quartile tail)", flush=True)
     print(f"train throughput: {B / t_full * 1e3:.1f} seq/s "
           f"({1e3 / t_full:.1f} steps/s at B={B})", flush=True)
 
