@@ -32,6 +32,9 @@ def main():
                         help=">0 keeps an EMA shadow of the params (rate = "
                              "this value, e.g. 0.9999); validation scores "
                              "the EMA weights and ckpt_ema/ stores them")
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="optimizer steps per XLA dispatch "
+                        "(train/trainer.py::chain_steps)")
     parser.add_argument("--seed", type=int, default=233)
     parser.add_argument("--resume_checkpoint", default=None,
                         help="orbax ckpt dir to resume params from")
@@ -110,7 +113,16 @@ def main():
     state = TrainState.create(params, adamw(args.lr),
                               ema_rate=args.ema_decay)
     mesh = make_mesh(batch_size=args.batch_size)
-    step = data_parallel_step(make_skeleton_train_step(model, diffusion), mesh)
+    spd = max(1, getattr(args, "steps_per_dispatch", 1))
+    step_fn = make_skeleton_train_step(model, diffusion)
+    if spd > 1:
+        from interdiff_tpu.train.trainer import chain_steps
+
+        step = data_parallel_step(
+            chain_steps(step_fn), mesh,
+            batch_spec=jax.sharding.PartitionSpec(None, "data"))
+    else:
+        step = data_parallel_step(step_fn, mesh)
 
     from interdiff_tpu.cli.common import snapshot_sources
 
@@ -197,20 +209,31 @@ def main():
         from interdiff_tpu.utils.prefetch import device_prefetch, threaded_batches
 
         def _placed():
+            buf = []
             for b in threaded_batches(epoch_batches, num_workers=2):
+                buf.append(b)
+                if len(buf) < spd:
+                    continue
                 with prof.section("batch_place"):
-                    placed = step.place_batch(
-                        {k: jnp.asarray(v) for k, v in b.items()})
-                yield b, placed
+                    if spd == 1:
+                        arr = {k: jnp.asarray(v) for k, v in buf[0].items()}
+                    else:
+                        arr = {k: jnp.asarray(np.stack([x[k] for x in buf]))
+                               for k in buf[0]}
+                    placed = step.place_batch(arr)
+                yield buf[-1], placed
+                buf = []
+            # trailing partial stack dropped (would recompile at a new K)
 
         for batch_np_last, batch in _placed():
             key, k_step = jax.random.split(key)
             with prof.section("train_step"):
                 state, metrics = step(state, batch, k_step)
-            if i % 10 == 0:
-                logger.log(i, {"loss": metrics["loss"]}, epoch=epoch)
-                print(f"step {i} loss {float(metrics['loss']):.4f}")
-            i += 1
+            if (i // spd) % max(1, 10 // spd) == 0:
+                loss = float(jnp.mean(metrics["loss"]))
+                logger.log(i, {"loss": loss}, epoch=epoch)
+                print(f"step {i} loss {loss:.4f}")
+            i += spd
         if (epoch + 1) % args.val_every == 0 or args.synthetic:
             key, k_val = jax.random.split(key)
             val_params = (state.ema_params if state.ema_params is not None

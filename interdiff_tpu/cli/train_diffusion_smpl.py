@@ -47,6 +47,11 @@ def main():
                              "loadable by every eval CLI. The reference "
                              "ships `update_ema` (diffusion/nn.py:56) but "
                              "never calls it from a trainer")
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="optimizer steps per XLA dispatch "
+                        "(train/trainer.py::chain_steps): K microbatches "
+                        "scan inside one execution, hiding per-dispatch "
+                        "launch cost; metrics land every K steps")
     parser.add_argument("--seed", type=int, default=233)
     parser.add_argument("--resume_checkpoint", default=None,
                         help="orbax ckpt dir to resume params from")
@@ -142,9 +147,17 @@ def main():
                               sampler_state=sampler_state,
                               ema_rate=args.ema_decay)
     mesh = make_mesh(batch_size=args.batch_size)
-    step = data_parallel_step(
-        make_smpl_train_step(model, diffusion,
-                             schedule_sampler=schedule_sampler), mesh)
+    spd = max(1, args.steps_per_dispatch)
+    step_fn = make_smpl_train_step(model, diffusion,
+                                   schedule_sampler=schedule_sampler)
+    if spd > 1:
+        from interdiff_tpu.train.trainer import chain_steps
+
+        step = data_parallel_step(
+            chain_steps(step_fn), mesh,
+            batch_spec=jax.sharding.PartitionSpec(None, "data"))
+    else:
+        step = data_parallel_step(step_fn, mesh)
 
     from interdiff_tpu.cli.common import snapshot_sources
 
@@ -314,20 +327,34 @@ def main():
         from interdiff_tpu.utils.prefetch import threaded_batches
 
         def _placed():
+            buf = []
             for b in threaded_batches(epoch_batches, num_workers=2):
+                buf.append(b)
+                if len(buf) < spd:
+                    continue
                 with prof.section("batch_place"):
-                    placed = step.place_batch(
-                        {k: jnp.asarray(b[k]) for k in keep})
-                yield b, placed
+                    if spd == 1:
+                        arr = {k: jnp.asarray(buf[0][k]) for k in keep}
+                    else:  # stack K microbatches on the new leading axis
+                        arr = {k: jnp.asarray(np.stack([x[k] for x in buf]))
+                               for k in keep}
+                    placed = step.place_batch(arr)
+                yield buf[-1], placed
+                buf = []
+            # a trailing partial stack (< spd batches) is dropped: a
+            # different K would trigger a fresh XLA compile for the epoch
+            # tail, and the loader reshuffles every epoch anyway
 
         for batch_np, batch in _placed():
             key, k_step = jax.random.split(key)
             with prof.section("train_step"):
                 state, metrics = step(state, batch, k_step)
-            if i % 10 == 0:
-                logger.log(i, {"loss": metrics["loss"]}, epoch=epoch)
-                print(f"step {i} loss {float(metrics['loss']):.4f}")
-            i += 1
+            if (i // spd) % max(1, 10 // spd) == 0:
+                # chained dispatches return stacked [K] metrics; log the mean
+                loss = float(jnp.mean(metrics["loss"]))
+                logger.log(i, {"loss": loss}, epoch=epoch)
+                print(f"step {i} loss {loss:.4f}")
+            i += spd
         if (epoch + 1) % args.val_every == 0 or args.synthetic:
             key, k_val = jax.random.split(key)
             # with EMA on, validation (and best-ckpt selection) scores the

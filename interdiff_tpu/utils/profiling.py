@@ -51,7 +51,11 @@ def slope_time(op, x0, *, k_lo: int = 1, k_hi: int = 9, reps: int = 5
     a "14 ms" AdamW whose HBM roofline cost is ~0.3 ms).  Each outer rep
     gets a uniquely perturbed input — the axon tunnel memoizes results by
     argument value, so identical repeat dispatches report absurd sub-ms
-    times.
+    times — and the perturbation base is SALTED per process: the memo
+    survives across processes, so a rerun of the same script with the old
+    deterministic perturbations got every (executable, args) pair served
+    from the cache (observed: a 14.6 ms train step "measuring" 0.73 ms on
+    the second run of the day).
 
     Measurement discipline (learned the hard way on the tunnel):
 
@@ -72,9 +76,14 @@ def slope_time(op, x0, *, k_lo: int = 1, k_hi: int = 9, reps: int = 5
     dependency on the output is folded back into the carry to keep chained
     iterations sequential without changing the carried value.
     """
+    import os
     import statistics
 
     import jax.numpy as jnp
+
+    # fresh per call: no two processes (or two calls) ever dispatch the
+    # same (executable, args) pair, so the tunnel memo can never hit
+    salt = 1.0 + int.from_bytes(os.urandom(4), "little") / 2**33
 
     def _is_float(v):
         return hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
@@ -94,7 +103,8 @@ def slope_time(op, x0, *, k_lo: int = 1, k_hi: int = 9, reps: int = 5
         def g(x):
             return jax.lax.fori_loop(0, k, lambda _, x: _mix(x, op(x)), x)
 
-        variants = [_perturb(x0, 1e-6 * (i + k)) for i in range(reps + 1)]
+        variants = [_perturb(x0, 1e-6 * salt * (i + k))
+                    for i in range(reps + 1)]
         jax.block_until_ready(g(variants[0]))  # compile + warm
         times = []
         for v in variants[1:]:

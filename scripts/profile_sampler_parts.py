@@ -174,14 +174,17 @@ def rows_sweep():
             return diffusion.p_sample_loop(model_fn, key, (rows, T, 144),
                                            inpaint=Inpaint(mask, gt))
 
-        jax.block_until_ready(full(jax.random.PRNGKey(0)))
+        salt = int.from_bytes(os.urandom(4), "little")  # cross-process
+        # memo guard: the tunnel caches results by (executable, args) even
+        # across reruns of this script, so keys must never repeat
+        jax.block_until_ready(full(jax.random.PRNGKey(salt)))
         # block EVERY dispatch and take the median: async-queued reps let
         # the tunnel ack work before executing it, and one tunnel hiccup
         # corrupts a mean (same lesson as utils/profiling.slope_time)
         times = []
-        for i in range(5):  # unique keys: dodge the tunnel memoization
+        for i in range(5):
             t0 = time.perf_counter()
-            jax.block_until_ready(full(jax.random.PRNGKey(i + 1)))
+            jax.block_until_ready(full(jax.random.PRNGKey(salt + i + 1)))
             times.append(time.perf_counter() - t0)
         dt = sorted(times)[len(times) // 2] * 1e3
         per = dt / 100

@@ -121,3 +121,20 @@ def test_train_correction_skeleton_synthetic(monkeypatch, tmp_path, capsys):
                 "--results_dir", str(tmp_path)], monkeypatch)
     assert "loss" in capsys.readouterr().out
     _check_run_dir(str(tmp_path))
+
+
+def test_train_diffusion_smpl_steps_per_dispatch(monkeypatch, tmp_path,
+                                                 capsys):
+    """--steps_per_dispatch 2 chains both synthetic batches into ONE scan
+    dispatch (train/trainer.py::chain_steps); the run completes, logs a
+    finite (mean) loss and checkpoints normally."""
+    from interdiff_tpu.cli.train_diffusion_smpl import main
+
+    _run(main, ["--synthetic", "2", "--epochs", "1", "--batch_size", "8",
+                "--use_pointnet2", "0", "--embedding_dim", "32",
+                "--ff_size", "64", "--num_layers", "2", "--val_every", "1",
+                "--steps_per_dispatch", "2",
+                "--results_dir", str(tmp_path)], monkeypatch)
+    out = capsys.readouterr().out
+    assert "done: 2 steps" in out
+    _check_run_dir(str(tmp_path))

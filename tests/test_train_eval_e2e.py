@@ -299,3 +299,62 @@ def test_sampling_determinism(rng):
     c = run(jax.random.PRNGKey(43))
     np.testing.assert_array_equal(a, b)
     assert np.abs(a - c).max() > 1e-3
+
+
+def test_chain_steps_matches_sequential(rng):
+    """chain_steps(step)(state, stacked, key) == K sequential step calls
+    with keys jax.random.split(key, K) — params, step counter and stacked
+    metrics all agree, including through data_parallel_step with the
+    chained batch_spec (microbatch axis whole, data axis sharded)."""
+    from interdiff_tpu.train.trainer import chain_steps
+
+    model = MDMSkeleton(embed_dim=32, num_heads=4, ff_size=32, num_layers=4,
+                        past_len=3)
+    diffusion = _tiny_diffusion()
+    K, T = 3, 6
+    gen = synthetic_skeleton_batches(np.random.default_rng(0), batch_size=8,
+                                     seq_len=T)
+    batches = [{k: jnp.asarray(v) for k, v in next(gen).items()}
+               for _ in range(K)]
+
+    params = model.init(
+        jax.random.PRNGKey(0), batches[0]["skeleton"][:2],
+        batches[0]["obj_points"][:2], batches[0]["poses"][:2],
+        batches[0]["zero_pose_obj"][:2], jnp.zeros((2,), jnp.int32),
+        method=MDMSkeleton.init_forward)
+    step_fn = make_skeleton_train_step(model, diffusion)
+    key = jax.random.PRNGKey(5)
+
+    # sequential reference: K separate dispatches with the split keys,
+    # through the SAME mesh (so the gradient-psum reduction order matches
+    # the chained run and only scan-vs-unrolled scheduling noise remains)
+    mesh = make_mesh()
+    keys = jax.random.split(key, K)
+    # each state gets its own param copy: data_parallel_step donates the
+    # state, so the first call would delete buffers the other state shares
+    state_seq = TrainState.create(jax.tree.map(jnp.copy, params), adamw(1e-3))
+    seq_losses = []
+    seq_step = data_parallel_step(step_fn, mesh)
+    for i in range(K):
+        state_seq, m = seq_step(state_seq, seq_step.place_batch(batches[i]),
+                                keys[i])
+        seq_losses.append(float(m["loss"]))
+
+    # chained: one dispatch over the stacked microbatches, sharded on the
+    # SECOND axis (the data axis) over the 8-device mesh
+    stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+    many = data_parallel_step(
+        chain_steps(step_fn), mesh,
+        batch_spec=jax.sharding.PartitionSpec(None, "data"))
+    state_chain = TrainState.create(jax.tree.map(jnp.copy, params),
+                                    adamw(1e-3))
+    state_chain, metrics = many(state_chain, many.place_batch(stacked), key)
+
+    assert metrics["loss"].shape == (K,)
+    np.testing.assert_allclose(np.asarray(metrics["loss"]), seq_losses,
+                               rtol=2e-5)
+    assert int(state_chain.step) == K
+    for a, b in zip(jax.tree.leaves(state_chain.params),
+                    jax.tree.leaves(state_seq.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-6)
