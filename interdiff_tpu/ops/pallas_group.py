@@ -23,12 +23,15 @@ nonzero term per sum -> no rounding):
 
     out[c, s, m] = sum_n (rank[n, m] == s + 1) * data[n, c].
 
-XLA keeps the MXU/bytes-bound parts (the pairwise-d2 matmul, the [B, N, M]
-prefix sum); the kernel replaces top_k + gather with S compare-select-sum
-passes — identical VPU work to the gather kernel alone, with the top_k and
-its materialised score tensor deleted.  Grouped outputs are BIT-IDENTICAL
-to the XLA path (same selection, same single-term sums, same recenter
-subtraction order).
+XLA keeps only the MXU-bound pairwise-d2 matmul (shared across radius
+scales); the in-radius mask, the [N, M] prefix-rank cumsum and the
+sentinel-where all happen in VMEM scratch (computed once per query tile at
+grid slot 0), and the kernel replaces top_k + gather with S
+compare-select-sum passes — the top_k, its materialised score tensor, and
+the ~4 extra [B, N, M] HBM tensors of the XLA rank pipeline are all
+deleted.  Grouped outputs are BIT-IDENTICAL to the XLA path (same
+selection, same single-term sums, same recenter subtraction order; the
+f32 cumsum of a boolean mask is exact small-integer arithmetic).
 
 Layout notes (same lessons as `pallas_gather.py` / `pallas_nn.py`):
 
@@ -70,39 +73,59 @@ _MAX_C = 8  # same kernel-worthiness bound as pallas_gather
 _FORCE_PALLAS_INTERPRET = False  # tests flip this to run the kernel off-TPU
 
 
-def _group_kernel(rank_ref, data_ref, out_ref):
-    """Blocks: rank (1, N, TM) f32; data (1, N, C) f32; out (1, 1, C, TM).
+def _make_group_kernel(r2: float):
+    """Kernel closure over the (static) squared radius.
+
+    Blocks: d2t (1, N, TM) f32; data (1, N, C) f32; outs: grouped
+    (1, 1, C, TM) + cnt (1, 1, TM); scratch: rank (N, TM) f32.
 
     One grid step = one slot s (grid axis 2): a single [N, TM] mask is live
     at a time (an unrolled S-loop kept all S masks on the Mosaic stack —
-    38 MB at S=16, TM=512 — and OOMed scoped vmem).  The rank/data blocks
-    are index-invariant along s, so Mosaic keeps them resident."""
-    _, N, C = data_ref.shape
-    s = pl.program_id(2)
-    r = rank_ref[0]  # [N, TM]
-    m = r == (s + 1).astype(jnp.float32)
-    for c in range(C):
-        col = data_ref[0, :, c : c + 1]  # [N, 1]
-        out_ref[0, 0, c, :] = jnp.sum(jnp.where(m, col, 0.0), axis=0)
+    38 MB at S=16, TM=512 — and OOMed scoped vmem).  The d2t/data blocks
+    are index-invariant along s, so Mosaic keeps them resident, and the
+    rank matrix is computed ONCE per (b, m-tile) at s == 0 into VMEM
+    scratch — the mask/cumsum/where pipeline never touches HBM (the XLA
+    formulation materialized ~4 extra [B, N, M] tensors per radius scale,
+    ~0.8 GB of HBM round-trips per MSG module at B=32, M=N=1024)."""
+
+    def kernel(d2t_ref, data_ref, out_ref, cnt_ref, rank_ref):
+        _, N, C = data_ref.shape
+        s = pl.program_id(2)
+
+        @pl.when(s == 0)
+        def _():
+            mask = d2t_ref[0] < r2  # [N, TM]
+            rank = jnp.cumsum(mask.astype(jnp.float32), axis=0)
+            cnt_ref[0, 0, :] = rank[N - 1, :]
+            rank_ref[...] = jnp.where(mask, rank, _BIG)
+
+        m = rank_ref[...] == (s + 1).astype(jnp.float32)
+        for c in range(C):
+            col = data_ref[0, :, c : c + 1]  # [N, 1]
+            out_ref[0, 0, c, :] = jnp.sum(jnp.where(m, col, 0.0), axis=0)
+
+    return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nsample", "tile_m", "interpret"))
-def _select_sum_pallas(rank_t: jax.Array, data: jax.Array, nsample: int, *,
-                       tile_m: int = 512,
-                       interpret: bool = False) -> jax.Array:
-    """rank_t: [B, N, M] f32 (slot rank or _BIG), data: [B, N, C] f32 ->
-    gathered [B, M, S, C] (slot s of query m = the candidate with rank
-    s+1; empty slots are 0)."""
-    B, N, M = rank_t.shape
+                   static_argnames=("r2", "nsample", "tile_m", "interpret"))
+def _select_sum_pallas(d2t: jax.Array, data: jax.Array, r2: float,
+                       nsample: int, *, tile_m: int = 512,
+                       interpret: bool = False):
+    """d2t: [B, N, M] f32 squared distances, data: [B, N, C] f32 ->
+    (gathered [B, M, S, C], cnt [B, M]): slot s of query m = the candidate
+    with in-radius prefix-rank s+1 (empty slots are 0), cnt = hits per
+    query.  The in-radius mask, prefix-rank cumsum and sentinel-where all
+    happen in VMEM."""
+    B, N, M = d2t.shape
     C = data.shape[-1]
     m_pad = (-M) % tile_m
     if m_pad:
-        rank_t = jnp.pad(rank_t, ((0, 0), (0, 0), (0, m_pad)),
-                         constant_values=_BIG)
+        d2t = jnp.pad(d2t, ((0, 0), (0, 0), (0, m_pad)),
+                      constant_values=jnp.inf)
     Mp = M + m_pad
-    out = pl.pallas_call(
-        _group_kernel,
+    out, cnt = pl.pallas_call(
+        _make_group_kernel(r2),
         grid=(B, Mp // tile_m, nsample),
         in_specs=[
             pl.BlockSpec((1, N, tile_m), lambda b, m, s: (b, 0, m),
@@ -110,13 +133,20 @@ def _select_sum_pallas(rank_t: jax.Array, data: jax.Array, nsample: int, *,
             pl.BlockSpec((1, N, C), lambda b, m, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, C, tile_m),
-                               lambda b, m, s: (b, s, 0, m),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nsample, C, Mp), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, 1, C, tile_m), lambda b, m, s: (b, s, 0, m),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_m), lambda b, m, s: (b, 0, m),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nsample, C, Mp), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, Mp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((N, tile_m), jnp.float32)],
         interpret=interpret,
-    )(rank_t, data.astype(jnp.float32))
-    return out.transpose(0, 3, 1, 2)[:, :M]  # [B, M, S, C]
+    )(d2t, data.astype(jnp.float32))
+    return out.transpose(0, 3, 1, 2)[:, :M], cnt[:, 0, :M]
 
 
 def _reference_group(xyz, new_xyz, features, radius, nsample, use_xyz):
@@ -138,13 +168,9 @@ def _fused_impl(xyz, new_xyz, features, radius, nsample, use_xyz, d2t):
 
     if d2t is None:
         d2t = pairwise_sqdist_t(xyz, new_xyz)  # [B, N, M]
-    mask = d2t < radius * radius
-    rank = jnp.cumsum(mask.astype(jnp.float32), axis=1)  # [B, N, M]
-    cnt = rank[:, -1, :]  # [B, M] hits per query
-    rank_t = jnp.where(mask, rank, _BIG)
-
-    g = _select_sum_pallas(rank_t, data, nsample,
-                           interpret=_FORCE_PALLAS_INTERPRET)  # [B,M,S,C]
+    g, cnt = _select_sum_pallas(d2t, data, float(radius) * float(radius),
+                                nsample,
+                                interpret=_FORCE_PALLAS_INTERPRET)
 
     # CUDA ball_query row semantics: short rows repeat the FIRST hit,
     # zero-hit rows take index 0 (`pointnet2_ops` kernel; see
