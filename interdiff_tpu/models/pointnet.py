@@ -83,11 +83,32 @@ class SAModuleMSG(nn.Module):
                       jnp.promote_types(xyz.dtype, features.dtype))
         fused = (c_data <= _MAX_C and data_dtype == jnp.float32
                  and (on_tpu() or _FORCE_PALLAS_INTERPRET))
+        # FULLY-fused scale (grouping + folded conv/BN/ReLU + max in one
+        # Pallas pass, ops/pallas_sa.py): inference-mode BN only — our
+        # diffusion training runs the encoder with train=False (running
+        # stats), so this is the production TRAIN path too.  The backward
+        # falls back to the XLA reference VJP.
+        fused_sa = fused and self.use_xyz and not train
         d2 = (pairwise_sqdist_t(xyz, new_xyz) if fused
               else pairwise_sqdist(new_xyz, xyz))
         outs = []
         for s, (radius, nsample, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):
+            mlp_mod = SharedMLP(mlp, name=f"mlp{s}")
+            if fused_sa:
+                from interdiff_tpu.ops.pallas_sa import (
+                    folded_affine,
+                    fused_sa_scale,
+                )
+
+                # probe call creates/binds the conv+bn params (the probe
+                # compute itself is dead code at apply time)
+                mlp_mod(jnp.zeros((1, 1, c_data), data_dtype), train=train)
+                h_max = fused_sa_scale(xyz, new_xyz, features,
+                                       folded_affine(mlp_mod), radius,
+                                       nsample, self.use_xyz, d2)
+                outs.append(h_max)  # [B, M, mlp[-1]]
+                continue
             if fused:
                 grouped = fused_query_group(xyz, new_xyz, features, radius,
                                             nsample, self.use_xyz, d2)
@@ -95,7 +116,7 @@ class SAModuleMSG(nn.Module):
                 grouped = query_and_group(
                     xyz, new_xyz, features, radius, nsample,
                     use_xyz=self.use_xyz, d2=d2)  # [B,M,S,3+C]
-            h = SharedMLP(mlp, name=f"mlp{s}")(grouped, train=train)
+            h = mlp_mod(grouped, train=train)
             outs.append(jnp.max(h, axis=2))  # [B, M, mlp[-1]]
         return new_xyz, jnp.concatenate(outs, axis=-1)
 

@@ -1,0 +1,280 @@
+"""Fully-fused PointNet++ set-abstraction scale — ball-query grouping +
+inference-mode Conv/BN/ReLU chain + neighbour max-pool in ONE Pallas pass.
+
+Reference semantics: `pointnet2_ops` ball_query + grouping followed by
+`build_shared_mlp` (Conv2d 1x1 + BatchNorm2d + ReLU per layer) and a max
+over the ``nsample`` neighbour axis (`interdiff/model/layers.py:118-139`).
+
+Why fuse: at the training shape (B=32, M=N=1024, S=16/32) the unfused
+pipeline materialises, per radius scale, the grouped tensor
+[B, M, S, 3+C] and every hidden [B, M, S, h] between conv layers — ~0.7 GB
+of HBM round-trips per MSG module forward — only to reduce over S at the
+end.  All of it fits in VMEM per query tile: this kernel streams the
+shared [B, N, M] squared-distance matrix once, computes the in-radius
+prefix-rank in scratch (`ops/pallas_group.py`'s rank-select insight: slot
+``s`` of query ``m`` = candidate with prefix-rank s+1), and runs grouping,
+short-row fixups, recentering, the folded affine MLP and the running max
+entirely on-chip.  HBM traffic per scale collapses to: read d2 block +
+read data once, write [B, c_out, M].
+
+BatchNorm is folded: our training graphs run the encoder's BN in
+inference mode (running statistics — `models/pointnet.py::SharedMLP`, the
+encode path never threads ``train=True``), so conv+BN is the affine
+``y = a * (x @ W) + b`` with ``a = scale * rsqrt(var + eps)``,
+``b = bias - a * mean``.  The MLP matmuls are evaluated as per-input-
+channel rank-1 VPU accumulations in f32 — the same VPU-FMA formulation as
+`ops/pallas_nn.py` (Mosaic handles tiny-K dots poorly) — so results match
+the XLA path to f32 rounding (the grouping/selection itself is
+bit-identical; the reassociated MLP sums are at least as precise as
+XLA's default-precision matmuls).
+
+Backward falls back to the pure-XLA reference implementation's VJP
+(`_sa_reference`, written on the same folded weights): gradients for the
+conv kernels and folded BN coefficients (and, transitively, BN
+scale/bias) are exact; the fused kernel accelerates the forward — which
+training ALSO runs — while the backward re-derives from the reference
+graph.
+
+Validated in interpret mode against the unfused path
+(`tests/test_pallas_sa.py`); drive `scripts/pallas_group_attempt.py
+--fused_sa` on the chip after any change (Mosaic lowering errors do not
+surface in interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 2.0 ** 30
+
+
+def _make_sa_kernel(r2: float, nsample: int, chans: Sequence[Tuple[int, int]],
+                    use_xyz: bool, n_feat: int):
+    """chans: ((cin, cout), ...) for the affine MLP chain; n_feat = feature
+    channels in ``data`` beyond xyz (data = [xyz | features])."""
+    C = 3 + n_feat
+    c_mlp_in = (3 if use_xyz else 0) + n_feat
+
+    def kernel(d2t_ref, data_ref, nxt_ref, *refs):
+        # refs: per-layer W (cin, cout) then per-layer ab (2, cout),
+        # then out_ref (1, c_out, TM), then rank scratch (N, TM)
+        n_layers = len(chans)
+        w_refs = refs[:n_layers]
+        ab_refs = refs[n_layers : 2 * n_layers]
+        out_ref = refs[2 * n_layers]
+        rank_ref = refs[2 * n_layers + 1]
+        _, N, _ = d2t_ref.shape
+        TM = out_ref.shape[2]
+
+        mask = d2t_ref[0] < r2  # [N, TM]
+        rank = jnp.cumsum(mask.astype(jnp.float32), axis=0)
+        cnt = rank[N - 1 : N, :]  # [1, TM]
+        rank_ref[...] = jnp.where(mask, rank, _BIG)
+
+        def grouped_slot(s_f32):
+            sel = rank_ref[...] == s_f32  # [N, TM]
+            rows = [
+                jnp.sum(jnp.where(sel, data_ref[0, :, c : c + 1], 0.0),
+                        axis=0)[None, :]
+                for c in range(C)
+            ]
+            return jnp.concatenate(rows, axis=0)  # [C, TM]
+
+        # slot-0 value + CUDA zero-hit fallback (index 0 == data row 0),
+        # kept UNrecentered like the XLA fixup order
+        g0 = grouped_slot(jnp.float32(1.0))
+        d0 = data_ref[0, 0, :]  # [C]
+        first = jnp.where(cnt > 0.0, g0,
+                          jnp.broadcast_to(d0[:, None], (C, TM)))
+
+        def mlp(g):
+            # g: [c_mlp_in, TM] -> [c_out, TM]; rank-1 f32 accumulation
+            h = g
+            for li, (cin, cout) in enumerate(chans):
+                acc = jnp.zeros((cout, TM), jnp.float32)
+                for k in range(cin):
+                    acc = acc + (w_refs[li][k, :][:, None]
+                                 * h[k : k + 1, :])
+                a = ab_refs[li][0, :][:, None]
+                b = ab_refs[li][1, :][:, None]
+                h = jnp.maximum(acc * a + b, 0.0)
+            return h
+
+        c_out = chans[-1][1]
+
+        def body(s, best):
+            g = grouped_slot((s + 1).astype(jnp.float32))
+            valid = s < cnt  # [1, TM]
+            g = jnp.where(valid, g, first)
+            if use_xyz:
+                parts = [g[:3] - nxt_ref[0], g[3:]]
+            else:
+                parts = [g[3:]]
+            x = parts[0] if len(parts) == 1 or parts[1].shape[0] == 0 \
+                else jnp.concatenate(parts, axis=0)  # [c_mlp_in, TM]
+            return jnp.maximum(best, mlp(x))
+
+        out_ref[0] = jax.lax.fori_loop(
+            0, nsample, body, jnp.full((c_out, TM), -jnp.inf, jnp.float32))
+
+    return kernel, C, c_mlp_in
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("r2", "nsample", "use_xyz", "shapes", "tile_m",
+                     "interpret"))
+def _sa_pallas(d2t, data, new_xyz_t, flat_params, r2, nsample, use_xyz,
+               shapes, *, tile_m: int = 512, interpret: bool = False):
+    """shapes: ((cin, cout), ...); flat_params: [W1, ab1-stacked?..] — the
+    caller passes (W..., ab...) already ordered."""
+    B, N, M = d2t.shape
+    m_pad = (-M) % tile_m
+    if m_pad:
+        d2t = jnp.pad(d2t, ((0, 0), (0, 0), (0, m_pad)),
+                      constant_values=jnp.inf)
+        new_xyz_t = jnp.pad(new_xyz_t, ((0, 0), (0, 0), (0, m_pad)))
+    Mp = M + m_pad
+    n_layers = len(shapes)
+    kernel, C, _ = _make_sa_kernel(r2, nsample, shapes, use_xyz,
+                                   data.shape[-1] - 3)
+    c_out = shapes[-1][1]
+
+    w_specs = [
+        pl.BlockSpec(flat_params[i].shape, lambda b, m: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for i in range(2 * n_layers)
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Mp // tile_m),
+        in_specs=[
+            pl.BlockSpec((1, N, tile_m), lambda b, m: (b, 0, m),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tile_m), lambda b, m: (b, 0, m),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((1, c_out, tile_m), lambda b, m: (b, 0, m),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, c_out, Mp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((N, tile_m), jnp.float32)],
+        interpret=interpret,
+    )(d2t, data.astype(jnp.float32), new_xyz_t, *flat_params)
+    return out.transpose(0, 2, 1)[:, :M]  # [B, M, c_out]
+
+
+def _sa_reference(xyz, new_xyz, features, params, radius, nsample, use_xyz):
+    """Pure-XLA reference on the SAME folded weights: query_and_group +
+    affine/relu chain + neighbour max.  Exact math of SharedMLP with
+    inference-mode BN; supplies the backward for the fused kernel."""
+    from interdiff_tpu.ops.pointcloud import query_and_group
+
+    grouped = query_and_group(xyz, new_xyz, features, radius, nsample,
+                              use_xyz=use_xyz)  # [B, M, S, c_mlp_in]
+    h = grouped
+    for w, a, b in params:
+        h = jnp.maximum((h @ w) * a + b, 0.0)
+    return jnp.max(h, axis=2)  # [B, M, c_out]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_sa_scale(xyz: jax.Array, new_xyz: jax.Array,
+                   features: Optional[jax.Array], params,
+                   radius: float, nsample: int, use_xyz: bool = True,
+                   d2t: Optional[jax.Array] = None) -> jax.Array:
+    """One MSG radius scale, fully fused on TPU.
+
+    xyz [B, N, 3]; new_xyz [B, M, 3]; features [B, N, F] | None;
+    params: tuple of (W [cin, cout], a [cout], b [cout]) per MLP layer
+    (folded inference-mode conv+BN, see module docstring); ``d2t``:
+    optional precomputed transposed pairwise sqdist [B, N, M] (shared
+    across scales).  Returns [B, M, c_out].
+    """
+    return _fused_sa_impl(xyz, new_xyz, features, params, radius, nsample,
+                          use_xyz, d2t)
+
+
+def _fused_sa_impl(xyz, new_xyz, features, params, radius, nsample,
+                   use_xyz, d2t):
+    from interdiff_tpu.ops.pallas_group import (
+        _FORCE_PALLAS_INTERPRET,
+        pairwise_sqdist_t,
+    )
+    from interdiff_tpu.ops.pallas_nn import on_tpu
+
+    data = (xyz if features is None
+            else jnp.concatenate([xyz, features], axis=-1))
+    # width cap: the kernel unrolls per-channel selects and rank-1 MLP
+    # updates, so wide inputs would blow the Mosaic program; stage-1's
+    # data is 4 channels
+    ok = (data.dtype == jnp.float32 and use_xyz and data.shape[-1] <= 8
+          and (on_tpu() or _FORCE_PALLAS_INTERPRET))
+    if not ok:
+        return _sa_reference(xyz, new_xyz, features, params, radius,
+                             nsample, use_xyz)
+    if d2t is None:
+        d2t = pairwise_sqdist_t(xyz, new_xyz)
+    shapes = tuple((int(w.shape[0]), int(w.shape[1])) for w, _, _ in params)
+    flat = tuple(w for w, _, _ in params) + tuple(
+        jnp.stack([a, b]) for _, a, b in params)
+    return _sa_pallas(d2t, data, new_xyz.transpose(0, 2, 1), flat,
+                      float(radius) * float(radius), nsample, use_xyz,
+                      shapes, interpret=_FORCE_PALLAS_INTERPRET)
+
+
+def _fsa_fwd(xyz, new_xyz, features, params, radius, nsample, use_xyz,
+             d2t=None):
+    out = _fused_sa_impl(xyz, new_xyz, features, params, radius, nsample,
+                         use_xyz, d2t)
+    return out, (xyz, new_xyz, features, params,
+                 None if d2t is None else d2t)
+
+
+def _fsa_bwd(radius, nsample, use_xyz, res, g):
+    # Backward via the XLA reference graph's VJP: exact for the folded
+    # weights (-> conv kernels + BN scale/bias through the fold, which is
+    # differentiated outside) AND for xyz/new_xyz/features.  d2t only
+    # drives the piecewise-constant selection — zero cotangent.
+    xyz, new_xyz, features, params, d2t = res
+    g_d2t = None if d2t is None else jnp.zeros_like(d2t)
+    if features is None:
+        ref = lambda x, nx, p: _sa_reference(  # noqa: E731
+            x, nx, None, p, radius, nsample, use_xyz)
+        _, vjp = jax.vjp(ref, xyz, new_xyz, params)
+        gx, gn, gp = vjp(g)
+        return gx, gn, None, gp, g_d2t
+    ref = lambda x, nx, f, p: _sa_reference(  # noqa: E731
+        x, nx, f, p, radius, nsample, use_xyz)
+    _, vjp = jax.vjp(ref, xyz, new_xyz, features, params)
+    gx, gn, gf, gp = vjp(g)
+    return gx, gn, gf, gp, g_d2t
+
+
+fused_sa_scale.defvjp(_fsa_fwd, _fsa_bwd)
+
+
+def folded_affine(mlp_mod):
+    """(W, a, b) per layer from a CALLED `models.pointnet.SharedMLP`
+    module instance: the inference-mode conv+BN fold
+    ``y = a * (x @ W) + b``, a = scale * rsqrt(var + eps),
+    b = bias - a * mean (BN epsilon 1e-5, matching SharedMLP)."""
+    v = mlp_mod.variables
+    out = []
+    for i in range(len(mlp_mod.channels)):
+        w = v["params"][f"conv{i}"]["kernel"]
+        scale = v["params"][f"bn{i}"]["scale"]
+        bias = v["params"][f"bn{i}"]["bias"]
+        mean = v["batch_stats"][f"bn{i}"]["mean"]
+        var = v["batch_stats"][f"bn{i}"]["var"]
+        a = scale * jax.lax.rsqrt(var + 1e-5)
+        out.append((w, a, bias - a * mean))
+    return tuple(out)

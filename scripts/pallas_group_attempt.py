@@ -97,6 +97,62 @@ def main():
     chain("XLA   both scales (shared d2)", msg_xla, xyz)
     chain("FUSED both scales (shared d2t)", msg_fused, xyz)
 
+    # ---- fully-fused SA scale (ops/pallas_sa.py): Mosaic lowering +
+    # equality vs the XLA reference on folded weights + slope perf --------
+    from interdiff_tpu.ops.pallas_sa import (  # noqa: E402
+        _sa_reference,
+        fused_sa_scale,
+    )
+
+    prng = np.random.default_rng(7)
+
+    def mk_params(chans):
+        out = []
+        for cin, cout in chans:
+            out.append((
+                jnp.asarray(prng.standard_normal((cin, cout)),
+                            jnp.float32) * 0.3,
+                jnp.asarray(1.0 + 0.1 * prng.standard_normal(cout),
+                            jnp.float32),
+                jnp.asarray(0.1 * prng.standard_normal(cout), jnp.float32),
+            ))
+        return tuple(out)
+
+    sa_cfg = (
+        ("scale1", 0.05, 16, ((4, 16), (16, 16), (16, 32))),
+        ("scale2", 0.1, 32, ((4, 32), (32, 32), (32, 64))),
+    )
+    sa_params = {name: mk_params(ch) for name, _, _, ch in sa_cfg}
+    for name, r, ns, ch in sa_cfg:
+        got = np.asarray(jax.jit(
+            lambda x, n=ns, rr=r, p=sa_params[name]: fused_sa_scale(
+                x, x[:, :M], jnp.sum(x, -1, keepdims=True), p, rr, n,
+                True))(xyz))
+        want = np.asarray(jax.jit(
+            lambda x, n=ns, rr=r, p=sa_params[name]: _sa_reference(
+                x, x[:, :M], jnp.sum(x, -1, keepdims=True), p, rr, n,
+                True))(xyz))
+        err = np.abs(got - want).max()
+        print(f"fused-SA {name} max|diff| vs reference: {err:.2e}",
+              flush=True)
+        if not np.isfinite(err) or err > 1e-3:
+            sys.exit(1)
+
+    def sa_both(x):
+        f = jnp.sum(x, -1, keepdims=True)
+        d2t = pairwise_sqdist_t(x, x[:, :M])
+        return [fused_sa_scale(x, x[:, :M], f, sa_params[name], r, ns,
+                               True, d2t)
+                for name, r, ns, _ in sa_cfg]
+
+    def sa_both_xla(x):
+        f = jnp.sum(x, -1, keepdims=True)
+        return [_sa_reference(x, x[:, :M], f, sa_params[name], r, ns, True)
+                for name, r, ns, _ in sa_cfg]
+
+    chain("XLA   SA both scales (group+MLP+max)", sa_both_xla, xyz)
+    chain("FUSED SA both scales (one kernel/scale)", sa_both, xyz)
+
     # ---- whole encoder forward --------------------------------------------
     from interdiff_tpu.models.pointnet import PointNet2Encoder  # noqa: E402
 
@@ -105,6 +161,11 @@ def main():
     ep = enc.init(jax.random.PRNGKey(0), pc)
     chain("PointNet2Encoder fwd (fused routing)",
           lambda x: enc.apply(ep, x), pc)
+
+    def enc_grad(x):
+        return jax.grad(lambda p: jnp.sum(enc.apply(p, x)))(ep)
+
+    chain("PointNet2Encoder fwd+bwd (fused routing)", enc_grad, pc)
 
 
 if __name__ == "__main__":
