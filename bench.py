@@ -52,11 +52,12 @@ def _perf_fields(compiled, calls_per_sec: float,
     A graph sitting far from BOTH roofs gets "occupancy (small-op)":
     the d_model-256 denoiser's serial chain of small matmuls/layernorms
     can't fill the MXU or the HBM pipe, and the measured rows sweep
-    (scripts/profile_sampler_parts.py --rows_sweep, v5e: 0.864 / 0.949 /
-    1.058 ms per 64 rows at 64/128/320 rows) shows per-row cost RISING
-    with batch — so widening the batch cannot recover the headroom and
-    the bound is on-chip per-op execution at tiny dims, NOT host/dispatch
-    latency (which flat per-step times would have indicated).
+    (scripts/profile_sampler_parts.py --rows_sweep, blocked-median +
+    salted keys, v5e: 1.089 / 1.063 / 1.105 ms per 64 rows at 64/128/320
+    rows) shows per-64-row cost FLAT in batch width — widening the batch
+    scales time with work instead of amortising a fixed host cost, so the
+    bound is on-chip per-op execution at tiny dims, NOT host/dispatch
+    latency (which would make TOTAL per-step time flat in rows).
 
     XLA's counter treats custom calls as zero-cost, so modes embedding
     Pallas kernels pass an analytic ``custom_flops`` estimate per call
@@ -162,12 +163,11 @@ def measure_tpu():
     # 2-at-a-time (what `parallel/sample_parallel.py` + `cli/eval_smpl_short
     # --diverse_fold 2` do): encode the conditioning once per clip batch,
     # tile it, and run the p_sample_loop over fold*B sequences per call.
-    # Measured on v5e: fold=2 (64 seq/call) 599.9, fold=4 586.6, fold=10
-    # 555.2, fold=1 532.8 seq/s.  The rows sweep (profile_sampler_parts
-    # --rows_sweep: 0.864/0.949/1.058 ms per 64 rows at 64/128/320 rows)
-    # explains the fold-2 peak: per-row cost RISES with batch, so beyond
-    # amortising the fixed per-call cost there is nothing to harvest by
-    # widening — 64 rows/call is the occupancy sweet spot.  Override with
+    # The honest (blocked-median, salted) rows sweep shows per-64-row scan
+    # cost FLAT in width (1.089/1.063/1.105 ms at 64/128/320 rows), so
+    # fold choice is a wash beyond amortising the fixed per-call cost;
+    # fold=2 stays the default (earlier async-queued fold-sweep numbers
+    # suggesting a fold-2 peak were tunnel artifacts).  Override with
     # INTERDIFF_BENCH_DIVERSE=1 for the sequential per-sample mode.
     n_div = int(os.environ.get("INTERDIFF_BENCH_DIVERSE", "2"))
     if n_div > 1:
