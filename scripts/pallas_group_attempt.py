@@ -50,6 +50,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--points", type=int, default=1024)
+    ap.add_argument("--quick", action="store_true",
+                    help="correctness/lowering gate only - skip the "
+                    "slope-timed perf chains (each chain compiles two "
+                    "fori_loop graphs over the tunnel)")
     args = ap.parse_args()
     B, P = args.batch, args.points
     M = min(1024, P)
@@ -62,9 +66,17 @@ def main():
     new = xyz[:, :M]
 
     # ---- correctness on the chip (bit equality vs XLA path) ---------------
+    # everything jitted: EAGER references compile op-by-op over the tunnel
+    # (one remote compile per primitive) and can eat a 30-min timeout
+    # before the first result lands
     for radius, ns in ((0.05, 16), (0.1, 32)):
-        ref = np.asarray(query_and_group(xyz, new, feats, radius, ns))
-        got = np.asarray(fused_query_group(xyz, new, feats, radius, ns))
+        print(f"compiling equality pair r={radius} ns={ns} ...", flush=True)
+        ref = np.asarray(jax.jit(
+            lambda x, f, rr=radius, n=ns: query_and_group(
+                x, x[:, :M], f, rr, n))(xyz, feats))
+        got = np.asarray(jax.jit(
+            lambda x, f, rr=radius, n=ns: fused_query_group(
+                x, x[:, :M], f, rr, n))(xyz, feats))
         eq = np.array_equal(got, ref)
         print(f"bit-equal r={radius} ns={ns}: {eq}", flush=True)
         if not eq:
@@ -73,32 +85,8 @@ def main():
                   "at", np.unravel_index(diff.argmax(), diff.shape))
             sys.exit(1)
 
-    # ---- perf: fused vs XLA pipeline, per scale and per MSG module --------
-    for ns, r in ((16, 0.05), (32, 0.1)):
-        chain(f"XLA   query_and_group ns={ns}",
-              lambda x, n=ns, rr=r: query_and_group(
-                  x, x[:, :M], jnp.sum(x, -1, keepdims=True), rr, n), xyz)
-        chain(f"FUSED query_group     ns={ns}",
-              lambda x, n=ns, rr=r: fused_query_group(
-                  x, x[:, :M], jnp.sum(x, -1, keepdims=True), rr, n), xyz)
-
-    def msg_xla(x):
-        f = jnp.sum(x, -1, keepdims=True)
-        d2 = pairwise_sqdist(x[:, :M], x)
-        return [query_and_group(x, x[:, :M], f, r, n, d2=d2)
-                for r, n in ((0.05, 16), (0.1, 32))]
-
-    def msg_fused(x):
-        f = jnp.sum(x, -1, keepdims=True)
-        d2t = pairwise_sqdist_t(x, x[:, :M])
-        return [fused_query_group(x, x[:, :M], f, r, n, True, d2t)
-                for r, n in ((0.05, 16), (0.1, 32))]
-
-    chain("XLA   both scales (shared d2)", msg_xla, xyz)
-    chain("FUSED both scales (shared d2t)", msg_fused, xyz)
-
-    # ---- fully-fused SA scale (ops/pallas_sa.py): Mosaic lowering +
-    # equality vs the XLA reference on folded weights + slope perf --------
+    # ---- fully-fused SA scale correctness (ops/pallas_sa.py): Mosaic
+    # lowering + equality vs the XLA reference on folded weights ----------
     from interdiff_tpu.ops.pallas_sa import (  # noqa: E402
         _sa_reference,
         fused_sa_scale,
@@ -124,6 +112,7 @@ def main():
     )
     sa_params = {name: mk_params(ch) for name, _, _, ch in sa_cfg}
     for name, r, ns, ch in sa_cfg:
+        print(f"compiling fused-SA pair {name} ...", flush=True)
         got = np.asarray(jax.jit(
             lambda x, n=ns, rr=r, p=sa_params[name]: fused_sa_scale(
                 x, x[:, :M], jnp.sum(x, -1, keepdims=True), p, rr, n,
@@ -138,6 +127,35 @@ def main():
         if not np.isfinite(err) or err > 1e-3:
             sys.exit(1)
 
+    if args.quick:
+        print("quick gate ok (correctness + lowering only)", flush=True)
+        return
+
+    # ---- perf: fused vs XLA pipeline, per scale and per MSG module --------
+    for ns, r in ((16, 0.05), (32, 0.1)):
+        chain(f"XLA   query_and_group ns={ns}",
+              lambda x, n=ns, rr=r: query_and_group(
+                  x, x[:, :M], jnp.sum(x, -1, keepdims=True), rr, n), xyz)
+        chain(f"FUSED query_group     ns={ns}",
+              lambda x, n=ns, rr=r: fused_query_group(
+                  x, x[:, :M], jnp.sum(x, -1, keepdims=True), rr, n), xyz)
+
+    def msg_xla(x):
+        f = jnp.sum(x, -1, keepdims=True)
+        d2 = pairwise_sqdist(x[:, :M], x)
+        return [query_and_group(x, x[:, :M], f, r, n, d2=d2)
+                for r, n in ((0.05, 16), (0.1, 32))]
+
+    def msg_fused(x):
+        f = jnp.sum(x, -1, keepdims=True)
+        d2t = pairwise_sqdist_t(x, x[:, :M])
+        return [fused_query_group(x, x[:, :M], f, r, n, True, d2t)
+                for r, n in ((0.05, 16), (0.1, 32))]
+
+    chain("XLA   both scales (shared d2)", msg_xla, xyz)
+    chain("FUSED both scales (shared d2t)", msg_fused, xyz)
+
+    # ---- fused-SA perf ----------------------------------------------------
     def sa_both(x):
         f = jnp.sum(x, -1, keepdims=True)
         d2t = pairwise_sqdist_t(x, x[:, :M])
