@@ -73,6 +73,21 @@ _MAX_C = 8  # same kernel-worthiness bound as pallas_gather
 _FORCE_PALLAS_INTERPRET = False  # tests flip this to run the kernel off-TPU
 
 
+def _prefix_sum_rows(x):
+    """Inclusive prefix sum along axis 0 as a Hillis-Steele shift-add scan
+    (log2 N concat+add passes).  Mosaic has no `cumsum` lowering
+    (NotImplementedError, observed on-chip 2026-08-20); for the 0/1
+    in-radius masks this is EXACT — integer-valued f32 sums are associative
+    below 2^24 — so results stay bit-identical to XLA's cumsum."""
+    n = x.shape[0]
+    k = 1
+    while k < n:
+        x = x + jnp.concatenate(
+            [jnp.zeros((k,) + x.shape[1:], x.dtype), x[:-k]], axis=0)
+        k *= 2
+    return x
+
+
 def _make_group_kernel(r2: float):
     """Kernel closure over the (static) squared radius.
 
@@ -95,7 +110,7 @@ def _make_group_kernel(r2: float):
         @pl.when(s == 0)
         def _():
             mask = d2t_ref[0] < r2  # [N, TM]
-            rank = jnp.cumsum(mask.astype(jnp.float32), axis=0)
+            rank = _prefix_sum_rows(mask.astype(jnp.float32))
             cnt_ref[0, 0, :] = rank[N - 1, :]
             rank_ref[...] = jnp.where(mask, rank, _BIG)
 

@@ -72,8 +72,10 @@ def _make_sa_kernel(r2: float, nsample: int, chans: Sequence[Tuple[int, int]],
         _, N, _ = d2t_ref.shape
         TM = out_ref.shape[2]
 
+        from interdiff_tpu.ops.pallas_group import _prefix_sum_rows
+
         mask = d2t_ref[0] < r2  # [N, TM]
-        rank = jnp.cumsum(mask.astype(jnp.float32), axis=0)
+        rank = _prefix_sum_rows(mask.astype(jnp.float32))  # no Mosaic cumsum
         cnt = rank[N - 1 : N, :]  # [1, TM]
         rank_ref[...] = jnp.where(mask, rank, _BIG)
 
