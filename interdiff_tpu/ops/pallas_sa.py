@@ -62,8 +62,14 @@ def _make_sa_kernel(r2: float, nsample: int, chans: Sequence[Tuple[int, int]],
     c_mlp_in = (3 if use_xyz else 0) + n_feat
 
     def kernel(d2t_ref, data_ref, nxt_ref, *refs):
-        # refs: per-layer W (cin, cout) then per-layer ab (2, cout),
-        # then out_ref (1, c_out, TM), then rank scratch (N, TM)
+        # refs: per-layer W TRANSPOSED (cout, cin) then per-layer ab
+        # (cout, 2), then out_ref (1, c_out, TM), then rank scratch (N, TM).
+        # Weights arrive pre-transposed so every in-kernel access is a
+        # COLUMN slice ([cout, 1]) broadcast against a row ([1, TM]) —
+        # the first chip run sliced ROWS of [cin, cout] blocks
+        # (W[k, :][:, None], a lane->sublane relayout of a tiny vector)
+        # and Mosaic silently produced wrong values (max|diff| 0.4 vs the
+        # f32-pinned reference; interpret mode was exact).
         n_layers = len(chans)
         w_refs = refs[:n_layers]
         ab_refs = refs[n_layers : 2 * n_layers]
@@ -89,11 +95,13 @@ def _make_sa_kernel(r2: float, nsample: int, chans: Sequence[Tuple[int, int]],
             return jnp.concatenate(rows, axis=0)  # [C, TM]
 
         # slot-0 value + CUDA zero-hit fallback (index 0 == data row 0),
-        # kept UNrecentered like the XLA fixup order
+        # kept UNrecentered like the XLA fixup order; the fallback tile is
+        # built from [1, 1] scalar blocks (no 1D relayout)
         g0 = grouped_slot(jnp.float32(1.0))
-        d0 = data_ref[0, 0, :]  # [C]
-        first = jnp.where(cnt > 0.0, g0,
-                          jnp.broadcast_to(d0[:, None], (C, TM)))
+        d0_tile = jnp.concatenate(
+            [jnp.broadcast_to(data_ref[0, 0:1, c : c + 1], (1, TM))
+             for c in range(C)], axis=0)  # [C, TM]
+        first = jnp.where(cnt > 0.0, g0, d0_tile)
 
         def mlp(g):
             # g: [c_mlp_in, TM] -> [c_out, TM]; rank-1 f32 accumulation
@@ -101,18 +109,19 @@ def _make_sa_kernel(r2: float, nsample: int, chans: Sequence[Tuple[int, int]],
             for li, (cin, cout) in enumerate(chans):
                 acc = jnp.zeros((cout, TM), jnp.float32)
                 for k in range(cin):
-                    acc = acc + (w_refs[li][k, :][:, None]
-                                 * h[k : k + 1, :])
-                a = ab_refs[li][0, :][:, None]
-                b = ab_refs[li][1, :][:, None]
+                    acc = acc + (w_refs[li][:, k : k + 1]
+                                 * h[k : k + 1, :])  # [cout,1]*[1,TM]
+                a = ab_refs[li][:, 0:1]  # [cout, 1]
+                b = ab_refs[li][:, 1:2]
                 h = jnp.maximum(acc * a + b, 0.0)
             return h
 
         c_out = chans[-1][1]
 
         def body(s, best):
-            g = grouped_slot((s + 1).astype(jnp.float32))
-            valid = s < cnt  # [1, TM]
+            s_f = (s + 1).astype(jnp.float32)
+            g = grouped_slot(s_f)
+            valid = s.astype(jnp.float32) < cnt  # [1, TM]
             g = jnp.where(valid, g, first)
             if use_xyz:
                 parts = [g[:3] - nxt_ref[0], g[3:]]
@@ -122,8 +131,10 @@ def _make_sa_kernel(r2: float, nsample: int, chans: Sequence[Tuple[int, int]],
                 else jnp.concatenate(parts, axis=0)  # [c_mlp_in, TM]
             return jnp.maximum(best, mlp(x))
 
+        # every layer ends in ReLU, so slot outputs are >= 0 and zeros is
+        # a correct (and Mosaic-friendlier) running-max init
         out_ref[0] = jax.lax.fori_loop(
-            0, nsample, body, jnp.full((c_out, TM), -jnp.inf, jnp.float32))
+            0, nsample, body, jnp.zeros((c_out, TM), jnp.float32))
 
     return kernel, C, c_mlp_in
 
@@ -226,8 +237,10 @@ def _fused_sa_impl(xyz, new_xyz, features, params, radius, nsample,
     if d2t is None:
         d2t = pairwise_sqdist_t(xyz, new_xyz)
     shapes = tuple((int(w.shape[0]), int(w.shape[1])) for w, _, _ in params)
-    flat = tuple(w for w, _, _ in params) + tuple(
-        jnp.stack([a, b]) for _, a, b in params)
+    # pre-transpose: kernel wants W as [cout, cin] and ab as [cout, 2] so
+    # all its weight reads are column slices (see kernel docstring)
+    flat = tuple(w.T for w, _, _ in params) + tuple(
+        jnp.stack([a, b], axis=1) for _, a, b in params)
     return _sa_pallas(d2t, data, new_xyz.transpose(0, 2, 1), flat,
                       float(radius) * float(radius), nsample, use_xyz,
                       shapes, interpret=_FORCE_PALLAS_INTERPRET)
