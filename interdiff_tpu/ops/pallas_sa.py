@@ -185,14 +185,21 @@ def _sa_pallas(d2t, data, new_xyz_t, flat_params, r2, nsample, use_xyz,
     return out.transpose(0, 2, 1)[:, :M]  # [B, M, c_out]
 
 
-def _sa_reference(xyz, new_xyz, features, params, radius, nsample, use_xyz):
+def _sa_reference(xyz, new_xyz, features, params, radius, nsample, use_xyz,
+                  d2=None):
     """Pure-XLA reference on the SAME folded weights: query_and_group +
     affine/relu chain + neighbour max.  Exact math of SharedMLP with
-    inference-mode BN; supplies the backward for the fused kernel."""
+    inference-mode BN; supplies the backward for the fused kernel.
+
+    ``d2``: optional [B, M, N] squared distances.  For differential
+    comparison against the kernel, pass the TRANSPOSE of the kernel's d2t
+    — the selection is threshold-based, so both sides must see the exact
+    same distance bits (recomputing under a different matmul precision
+    flips borderline in-radius decisions and yields O(1) output diffs)."""
     from interdiff_tpu.ops.pointcloud import query_and_group
 
     grouped = query_and_group(xyz, new_xyz, features, radius, nsample,
-                              use_xyz=use_xyz)  # [B, M, S, c_mlp_in]
+                              use_xyz=use_xyz, d2=d2)  # [B, M, S, c_mlp_in]
     h = grouped
     for w, a, b in params:
         h = jnp.maximum((h @ w) * a + b, 0.0)

@@ -111,24 +111,29 @@ def main():
         ("scale2", 0.1, 32, ((4, 32), (32, 32), (32, 64))),
     )
     sa_params = {name: mk_params(ch) for name, _, _, ch in sa_cfg}
+    # ONE shared distance tensor for both sides: the selection is
+    # threshold-based, so each side must see identical distance BITS —
+    # recomputing d2 under a different matmul precision flips borderline
+    # in-radius decisions and yields O(1) output diffs that look like
+    # kernel bugs (measured 3.99e-01 before sharing).  With the selection
+    # pinned, the remaining diff is pure MLP arithmetic: the kernel's f32
+    # rank-1 FMAs vs the f32-pinned reference matmuls.
+    d2t_shared = jax.jit(lambda x: pairwise_sqdist_t(x, x[:, :M]))(xyz)
+    d2_ref = jnp.swapaxes(d2t_shared, 1, 2)
     for name, r, ns, ch in sa_cfg:
         print(f"compiling fused-SA pair {name} ...", flush=True)
         got = np.asarray(jax.jit(
-            lambda x, n=ns, rr=r, p=sa_params[name]: fused_sa_scale(
+            lambda x, d, n=ns, rr=r, p=sa_params[name]: fused_sa_scale(
                 x, x[:, :M], jnp.sum(x, -1, keepdims=True), p, rr, n,
-                True))(xyz))
-        # pin the reference's matmuls to f32: the platform default
-        # quantises them to bf16 passes, and the kernel's rank-1 f32 FMAs
-        # are MORE precise than that default (first gate run measured
-        # 3.5e-3 against the unpinned reference — the reference's error)
+                True, d))(xyz, d2t_shared))
         with jax.default_matmul_precision("highest"):
             want = np.asarray(jax.jit(
-                lambda x, n=ns, rr=r, p=sa_params[name]: _sa_reference(
+                lambda x, d, n=ns, rr=r, p=sa_params[name]: _sa_reference(
                     x, x[:, :M], jnp.sum(x, -1, keepdims=True), p, rr, n,
-                    True))(xyz))
+                    True, d))(xyz, d2_ref))
         err = np.abs(got - want).max()
-        print(f"fused-SA {name} max|diff| vs f32-pinned reference: "
-              f"{err:.2e}", flush=True)
+        print(f"fused-SA {name} max|diff| vs f32-pinned shared-d2 "
+              f"reference: {err:.2e}", flush=True)
         if not np.isfinite(err) or err > 1e-4:
             sys.exit(1)
 
