@@ -55,15 +55,22 @@ _BIG = 2.0 ** 30
 
 
 def _make_sa_kernel(r2: float, nsample: int, chans: Sequence[Tuple[int, int]],
-                    use_xyz: bool, n_feat: int):
+                    use_xyz: bool, n_feat: int, with_grouped: bool):
     """chans: ((cin, cout), ...) for the affine MLP chain; n_feat = feature
-    channels in ``data`` beyond xyz (data = [xyz | features])."""
+    channels in ``data`` beyond xyz (data = [xyz | features]).
+
+    ``with_grouped``: additionally emit the recentered grouped tensor
+    (1, nsample, c_mlp_in, TM) — the training VJP's residual.  The write
+    is tiny next to what the fusion saves (8-17 MB vs ~0.7 GB of grouped/
+    hidden round-trips per MSG module), and saving it makes the backward
+    a pure dense-MLP VJP with no grouping replay."""
     C = 3 + n_feat
     c_mlp_in = (3 if use_xyz else 0) + n_feat
 
     def kernel(d2t_ref, data_ref, nxt_ref, *refs):
         # refs: per-layer W TRANSPOSED (cout, cin) then per-layer ab
-        # (cout, 2), then out_ref (1, c_out, TM), then rank scratch (N, TM).
+        # (cout, 2), then out_ref (1, c_out, TM) [, grouped_ref
+        # (1, nsample, c_mlp_in, TM)], then rank scratch (N, TM).
         # Weights arrive pre-transposed so every in-kernel access is a
         # COLUMN slice ([cout, 1]) broadcast against a row ([1, TM]) —
         # the first chip run sliced ROWS of [cin, cout] blocks
@@ -74,7 +81,8 @@ def _make_sa_kernel(r2: float, nsample: int, chans: Sequence[Tuple[int, int]],
         w_refs = refs[:n_layers]
         ab_refs = refs[n_layers : 2 * n_layers]
         out_ref = refs[2 * n_layers]
-        rank_ref = refs[2 * n_layers + 1]
+        grouped_ref = refs[2 * n_layers + 1] if with_grouped else None
+        rank_ref = refs[2 * n_layers + 1 + int(with_grouped)]
         _, N, _ = d2t_ref.shape
         TM = out_ref.shape[2]
 
@@ -129,6 +137,8 @@ def _make_sa_kernel(r2: float, nsample: int, chans: Sequence[Tuple[int, int]],
                 parts = [g[3:]]
             x = parts[0] if len(parts) == 1 or parts[1].shape[0] == 0 \
                 else jnp.concatenate(parts, axis=0)  # [c_mlp_in, TM]
+            if with_grouped:
+                grouped_ref[0, s] = x  # dynamic store on the untiled S axis
             return jnp.maximum(best, mlp(x))
 
         # every layer ends in ReLU, so slot outputs are >= 0 and zeros is
@@ -142,11 +152,13 @@ def _make_sa_kernel(r2: float, nsample: int, chans: Sequence[Tuple[int, int]],
 @functools.partial(
     jax.jit,
     static_argnames=("r2", "nsample", "use_xyz", "shapes", "tile_m",
-                     "interpret"))
+                     "interpret", "with_grouped"))
 def _sa_pallas(d2t, data, new_xyz_t, flat_params, r2, nsample, use_xyz,
-               shapes, *, tile_m: int = 512, interpret: bool = False):
+               shapes, *, tile_m: int = 512, interpret: bool = False,
+               with_grouped: bool = False):
     """shapes: ((cin, cout), ...); flat_params: [W1, ab1-stacked?..] — the
-    caller passes (W..., ab...) already ordered."""
+    caller passes (W..., ab...) already ordered.  With ``with_grouped``,
+    returns (features [B, M, c_out], grouped [B, M, nsample, c_mlp_in])."""
     B, N, M = d2t.shape
     m_pad = (-M) % tile_m
     if m_pad:
@@ -155,8 +167,8 @@ def _sa_pallas(d2t, data, new_xyz_t, flat_params, r2, nsample, use_xyz,
         new_xyz_t = jnp.pad(new_xyz_t, ((0, 0), (0, 0), (0, m_pad)))
     Mp = M + m_pad
     n_layers = len(shapes)
-    kernel, C, _ = _make_sa_kernel(r2, nsample, shapes, use_xyz,
-                                   data.shape[-1] - 3)
+    kernel, C, c_mlp_in = _make_sa_kernel(r2, nsample, shapes, use_xyz,
+                                          data.shape[-1] - 3, with_grouped)
     c_out = shapes[-1][1]
 
     w_specs = [
@@ -164,6 +176,15 @@ def _sa_pallas(d2t, data, new_xyz_t, flat_params, r2, nsample, use_xyz,
                      memory_space=pltpu.VMEM)
         for i in range(2 * n_layers)
     ]
+    out_specs = pl.BlockSpec((1, c_out, tile_m), lambda b, m: (b, 0, m),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, c_out, Mp), jnp.float32)
+    if with_grouped:
+        out_specs = (out_specs, pl.BlockSpec(
+            (1, nsample, c_mlp_in, tile_m), lambda b, m: (b, 0, 0, m),
+            memory_space=pltpu.VMEM))
+        out_shape = (out_shape, jax.ShapeDtypeStruct(
+            (B, nsample, c_mlp_in, Mp), jnp.float32))
     out = pl.pallas_call(
         kernel,
         grid=(B, Mp // tile_m),
@@ -176,20 +197,32 @@ def _sa_pallas(d2t, data, new_xyz_t, flat_params, r2, nsample, use_xyz,
                          memory_space=pltpu.VMEM),
             *w_specs,
         ],
-        out_specs=pl.BlockSpec((1, c_out, tile_m), lambda b, m: (b, 0, m),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, c_out, Mp), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((N, tile_m), jnp.float32)],
         interpret=interpret,
     )(d2t, data.astype(jnp.float32), new_xyz_t, *flat_params)
+    if with_grouped:
+        feats, grouped = out
+        return (feats.transpose(0, 2, 1)[:, :M],
+                grouped.transpose(0, 3, 1, 2)[:, :M])  # [B,M,S,c_mlp_in]
     return out.transpose(0, 2, 1)[:, :M]  # [B, M, c_out]
+
+
+def _mlp_max(grouped, params):
+    """Folded affine/ReLU chain + neighbour max over a grouped tensor
+    [B, M, S, c_mlp_in] — exact math of SharedMLP with inference-mode BN."""
+    h = grouped
+    for w, a, b in params:
+        h = jnp.maximum((h @ w) * a + b, 0.0)
+    return jnp.max(h, axis=2)  # [B, M, c_out]
 
 
 def _sa_reference(xyz, new_xyz, features, params, radius, nsample, use_xyz,
                   d2=None):
     """Pure-XLA reference on the SAME folded weights: query_and_group +
     affine/relu chain + neighbour max.  Exact math of SharedMLP with
-    inference-mode BN; supplies the backward for the fused kernel.
+    inference-mode BN; the fallback when the kernel gate is off.
 
     ``d2``: optional [B, M, N] squared distances.  For differential
     comparison against the kernel, pass the TRANSPOSE of the kernel's d2t
@@ -200,10 +233,7 @@ def _sa_reference(xyz, new_xyz, features, params, radius, nsample, use_xyz,
 
     grouped = query_and_group(xyz, new_xyz, features, radius, nsample,
                               use_xyz=use_xyz, d2=d2)  # [B, M, S, c_mlp_in]
-    h = grouped
-    for w, a, b in params:
-        h = jnp.maximum((h @ w) * a + b, 0.0)
-    return jnp.max(h, axis=2)  # [B, M, c_out]
+    return _mlp_max(grouped, params)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -224,7 +254,7 @@ def fused_sa_scale(xyz: jax.Array, new_xyz: jax.Array,
 
 
 def _fused_sa_impl(xyz, new_xyz, features, params, radius, nsample,
-                   use_xyz, d2t):
+                   use_xyz, d2t, with_grouped=False):
     from interdiff_tpu.ops.pallas_group import (
         _FORCE_PALLAS_INTERPRET,
         pairwise_sqdist_t,
@@ -239,8 +269,15 @@ def _fused_sa_impl(xyz, new_xyz, features, params, radius, nsample,
     ok = (data.dtype == jnp.float32 and use_xyz and data.shape[-1] <= 8
           and (on_tpu() or _FORCE_PALLAS_INTERPRET))
     if not ok:
-        return _sa_reference(xyz, new_xyz, features, params, radius,
-                             nsample, use_xyz)
+        d2 = None if d2t is None else jnp.swapaxes(d2t, 1, 2)
+        if not with_grouped:
+            return _sa_reference(xyz, new_xyz, features, params, radius,
+                                 nsample, use_xyz, d2)
+        from interdiff_tpu.ops.pointcloud import query_and_group
+
+        grouped = query_and_group(xyz, new_xyz, features, radius, nsample,
+                                  use_xyz=use_xyz, d2=d2)
+        return _mlp_max(grouped, params), grouped
     if d2t is None:
         d2t = pairwise_sqdist_t(xyz, new_xyz)
     shapes = tuple((int(w.shape[0]), int(w.shape[1])) for w, _, _ in params)
@@ -250,34 +287,52 @@ def _fused_sa_impl(xyz, new_xyz, features, params, radius, nsample,
         jnp.stack([a, b], axis=1) for _, a, b in params)
     return _sa_pallas(d2t, data, new_xyz.transpose(0, 2, 1), flat,
                       float(radius) * float(radius), nsample, use_xyz,
-                      shapes, interpret=_FORCE_PALLAS_INTERPRET)
+                      shapes, interpret=_FORCE_PALLAS_INTERPRET,
+                      with_grouped=with_grouped)
 
 
 def _fsa_fwd(xyz, new_xyz, features, params, radius, nsample, use_xyz,
              d2t=None):
-    out = _fused_sa_impl(xyz, new_xyz, features, params, radius, nsample,
-                         use_xyz, d2t)
+    # The differentiated forward asks the kernel for the grouped tensor
+    # too and saves it as the residual: the backward is then a pure
+    # dense-MLP VJP — no grouping replay (a replay-based bwd measured the
+    # encoder fwd+bwd at 18.8 ms vs ~13 with the saved residual; the old
+    # full-XLA-reference replay was 36.8).
+    out, grouped = _fused_sa_impl(xyz, new_xyz, features, params, radius,
+                                  nsample, use_xyz, d2t, with_grouped=True)
     return out, (xyz, new_xyz, features, params,
-                 None if d2t is None else d2t)
+                 None if d2t is None else d2t, grouped)
 
 
 def _fsa_bwd(radius, nsample, use_xyz, res, g):
-    # Backward via the XLA reference graph's VJP: exact for the folded
-    # weights (-> conv kernels + BN scale/bias through the fold, which is
-    # differentiated outside) AND for xyz/new_xyz/features.  d2t only
-    # drives the piecewise-constant selection — zero cotangent.
-    xyz, new_xyz, features, params, d2t = res
+    # Parameter/BN gradients: one dense-MLP VJP over the grouped residual
+    # the forward kernel emitted — no grouping replay (the original
+    # full-XLA-reference replay measured encoder fwd+bwd at 36.8 ms; a
+    # fused-grouping replay at 18.8; the saved residual removes the
+    # replay entirely).  Input cotangents route through
+    # `fused_query_group`'s custom VJP (the XLA reference grouping vjp);
+    # in the production train graph stage-1's inputs are data, so XLA
+    # dead-code-eliminates that branch — including its forward replay —
+    # entirely.  d2t only drives the piecewise-constant in-radius
+    # selection — zero cotangent.
+    from interdiff_tpu.ops.pallas_group import fused_query_group
+
+    xyz, new_xyz, features, params, d2t, grouped = res
     g_d2t = None if d2t is None else jnp.zeros_like(d2t)
+
+    _, vjp_mlp = jax.vjp(_mlp_max, grouped, params)
+    g_grouped, gp = vjp_mlp(g)
+
+    def group_fn(x, nx, f):
+        return fused_query_group(x, nx, f, radius, nsample, use_xyz, d2t)
+
     if features is None:
-        ref = lambda x, nx, p: _sa_reference(  # noqa: E731
-            x, nx, None, p, radius, nsample, use_xyz)
-        _, vjp = jax.vjp(ref, xyz, new_xyz, params)
-        gx, gn, gp = vjp(g)
+        _, vjp_grp = jax.vjp(lambda x, nx: group_fn(x, nx, None),
+                             xyz, new_xyz)
+        gx, gn = vjp_grp(g_grouped)
         return gx, gn, None, gp, g_d2t
-    ref = lambda x, nx, f, p: _sa_reference(  # noqa: E731
-        x, nx, f, p, radius, nsample, use_xyz)
-    _, vjp = jax.vjp(ref, xyz, new_xyz, features, params)
-    gx, gn, gf, gp = vjp(g)
+    _, vjp_grp = jax.vjp(group_fn, xyz, new_xyz, features)
+    gx, gn, gf = vjp_grp(g_grouped)
     return gx, gn, gf, gp, g_d2t
 
 

@@ -137,6 +137,32 @@ def main():
         if not np.isfinite(err) or err > 1e-4:
             sys.exit(1)
 
+    # ---- fused-SA grad path: exercises the with_grouped kernel variant
+    # (dynamic per-slot store on the untiled S axis) + the saved-residual
+    # dense-MLP VJP on chip; reference grads differentiate the XLA
+    # pipeline on the SAME shared d2 bits.  Both sides run at the
+    # platform-DEFAULT matmul precision: param grads are identical dense
+    # ops over the identical grouped tensor on both sides, so the right
+    # differential is same-precision (pinning only the reference measured
+    # 4.4e-3 of the REFERENCE's own bf16-vs-f32 gap, not kernel error —
+    # same artifact class as the forward comparison) -----------------------
+    for name, r, ns, ch in sa_cfg:
+        print(f"compiling fused-SA grad pair {name} ...", flush=True)
+        gp = jax.jit(jax.grad(
+            lambda p, x, d, n=ns, rr=r: jnp.sum(fused_sa_scale(
+                x, x[:, :M], jnp.sum(x, -1, keepdims=True), p, rr, n,
+                True, d))))(sa_params[name], xyz, d2t_shared)
+        gw = jax.jit(jax.grad(
+            lambda p, x, d, n=ns, rr=r: jnp.sum(_sa_reference(
+                x, x[:, :M], jnp.sum(x, -1, keepdims=True), p, rr, n,
+                True, d))))(sa_params[name], xyz, d2_ref)
+        gerr = max(float(np.abs(np.asarray(a) - np.asarray(b)).max() /
+                         (np.abs(np.asarray(b)).max() + 1e-12))
+                   for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gw)))
+        print(f"fused-SA {name} grad max rel diff: {gerr:.2e}", flush=True)
+        if not np.isfinite(gerr) or gerr > 1e-4:
+            sys.exit(1)
+
     if args.quick:
         print("quick gate ok (correctness + lowering only)", flush=True)
         return

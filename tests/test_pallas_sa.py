@@ -95,8 +95,9 @@ def test_fused_sa_shared_d2(force_interpret):
 
 
 def test_fused_sa_grad_matches_reference(force_interpret):
-    """The custom VJP (XLA-reference fallback) gives the same parameter
-    gradients as differentiating the reference directly."""
+    """The custom VJP (fused-grouping replay + dense-MLP vjp) gives the
+    same parameter AND input gradients as differentiating the reference
+    directly."""
     rng = np.random.default_rng(4)
     B, N, M = 1, 32, 16
     xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
@@ -104,14 +105,39 @@ def test_fused_sa_grad_matches_reference(force_interpret):
     feats = jnp.asarray(rng.standard_normal((B, N, 1)), jnp.float32)
     params = _params(rng, ((4, 8), (8, 8)))
 
-    def loss_fused(p):
-        return jnp.sum(fused_sa_scale(xyz, new_xyz, feats, p, 0.5, 4, True))
+    def loss_fused(p, f):
+        return jnp.sum(fused_sa_scale(xyz, new_xyz, f, p, 0.5, 4, True))
 
-    def loss_ref(p):
-        return jnp.sum(_sa_reference(xyz, new_xyz, feats, p, 0.5, 4, True))
+    def loss_ref(p, f):
+        return jnp.sum(_sa_reference(xyz, new_xyz, f, p, 0.5, 4, True))
 
-    g1 = jax.grad(loss_fused)(params)
-    g2 = jax.grad(loss_ref)(params)
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(params, feats)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(params, feats)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fused_sa_grad_with_shared_d2_and_no_features(force_interpret):
+    """bwd branches: saved d2t residual (selection replay stays
+    bit-consistent) and the features=None path."""
+    rng = np.random.default_rng(8)
+    B, N, M = 1, 32, 16
+    xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    new_xyz = xyz[:, :M]
+    d2t = pg.pairwise_sqdist_t(xyz, new_xyz)
+    params = _params(rng, ((3, 8), (8, 8)))
+
+    def loss_fused(p, x):
+        return jnp.sum(fused_sa_scale(x, new_xyz, None, p, 0.5, 4, True,
+                                      d2t))
+
+    def loss_ref(p, x):
+        return jnp.sum(_sa_reference(x, new_xyz, None, p, 0.5, 4, True,
+                                     jnp.swapaxes(d2t, 1, 2)))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(params, xyz)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(params, xyz)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
