@@ -87,8 +87,13 @@ class SAModuleMSG(nn.Module):
         # Pallas pass, ops/pallas_sa.py): inference-mode BN only — our
         # diffusion training runs the encoder with train=False (running
         # stats), so this is the production TRAIN path too.  The backward
-        # falls back to the XLA reference VJP.
-        fused_sa = fused and self.use_xyz and not train
+        # falls back to the XLA reference VJP.  INTERDIFF_NO_FUSED_SA=1
+        # (trace-time env) keeps the rank-select kernel route instead —
+        # the A/B lever for fused-SA vs rank-select measurements.
+        import os
+
+        fused_sa = (fused and self.use_xyz and not train
+                    and not os.environ.get("INTERDIFF_NO_FUSED_SA"))
         d2 = (pairwise_sqdist_t(xyz, new_xyz) if fused
               else pairwise_sqdist(new_xyz, xyz))
         outs = []

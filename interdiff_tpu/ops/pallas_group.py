@@ -73,6 +73,22 @@ _MAX_C = 8  # same kernel-worthiness bound as pallas_gather
 _FORCE_PALLAS_INTERPRET = False  # tests flip this to run the kernel off-TPU
 
 
+def _group_scoped_bytes(n: int, tile_m: int) -> int:
+    """Conservative scoped-vmem estimate for one grid step of the
+    rank-select kernel: the d2t block, the rank scratch and the prefix-scan
+    stack temporaries are all [N, tile_m] f32.  Chip calibration
+    (2026-08-20 gate run): 16.04 MB observed at N=2048, tile 512 — a
+    40 KB-over-limit OOM — i.e. 4.01 f32 words per N*tile_m element; we
+    charge 5, same as the fused-SA model (observed 4.42 there)."""
+    return 20 * n * tile_m
+
+
+def _pick_group_tile_m(n: int):
+    from interdiff_tpu.ops.pallas_sa import pick_tile_m
+
+    return pick_tile_m(n, _group_scoped_bytes)
+
+
 def _prefix_sum_rows(x):
     """Inclusive prefix sum along axis 0 as a Hillis-Steele shift-add scan
     (log2 N concat+add passes).  Mosaic has no `cumsum` lowering
@@ -164,27 +180,35 @@ def _select_sum_pallas(d2t: jax.Array, data: jax.Array, r2: float,
     return out.transpose(0, 3, 1, 2)[:, :M], cnt[:, 0, :M]
 
 
-def _reference_group(xyz, new_xyz, features, radius, nsample, use_xyz):
+def _reference_group(xyz, new_xyz, features, radius, nsample, use_xyz,
+                     d2=None):
     from interdiff_tpu.ops.pointcloud import query_and_group
 
     return query_and_group(xyz, new_xyz, features, radius, nsample,
-                           use_xyz=use_xyz)
+                           use_xyz=use_xyz, d2=d2)
 
 
 def _fused_impl(xyz, new_xyz, features, radius, nsample, use_xyz, d2t):
     data = (xyz if features is None
             else jnp.concatenate([xyz, features], axis=-1))
     C = data.shape[-1]
+    # tile_m is shape-aware (scoped-vmem scales with N*tile_m); None means
+    # no tile fits -> structural fallback to the XLA path, never a
+    # compile-crash of the embedding graph.
+    tile_m = _pick_group_tile_m(xyz.shape[1])
     use_kernel = (C <= _MAX_C and data.dtype == jnp.float32
+                  and tile_m is not None
                   and (on_tpu() or _FORCE_PALLAS_INTERPRET))
     if not use_kernel:
         return _reference_group(xyz, new_xyz, features, radius, nsample,
-                                use_xyz)
+                                use_xyz,
+                                None if d2t is None
+                                else jnp.swapaxes(d2t, 1, 2))
 
     if d2t is None:
         d2t = pairwise_sqdist_t(xyz, new_xyz)  # [B, N, M]
     g, cnt = _select_sum_pallas(d2t, data, float(radius) * float(radius),
-                                nsample,
+                                nsample, tile_m=tile_m,
                                 interpret=_FORCE_PALLAS_INTERPRET)
 
     # CUDA ball_query row semantics: short rows repeat the FIRST hit,
@@ -241,14 +265,20 @@ def _fqg_bwd(radius, nsample, use_xyz, res, g):
     # constant) selection — zero cotangent, like the reference's idx.
     xyz, new_xyz, features, d2t = res
     g_d2t = None if d2t is None else jnp.zeros_like(d2t)
+    # Replay the grouping on the FORWARD's distance bits: when the forward
+    # selected on a shared d2t, recomputing pairwise_sqdist(new_xyz, xyz)
+    # here (opposite matmul orientation, default precision) can flip
+    # borderline in-radius selections and scatter cotangents to a different
+    # neighbour set (advisor r4; commit af3a749 documents the flip class).
+    d2 = None if d2t is None else jnp.swapaxes(d2t, 1, 2)
     if features is None:
         ref = lambda x, nx: _reference_group(  # noqa: E731
-            x, nx, None, radius, nsample, use_xyz)
+            x, nx, None, radius, nsample, use_xyz, d2)
         _, vjp = jax.vjp(ref, xyz, new_xyz)
         gx, gn = vjp(g)
         return gx, gn, None, g_d2t
     ref = lambda x, nx, f: _reference_group(  # noqa: E731
-        x, nx, f, radius, nsample, use_xyz)
+        x, nx, f, radius, nsample, use_xyz, d2)
     _, vjp = jax.vjp(ref, xyz, new_xyz, features)
     gx, gn, gf = vjp(g)
     return gx, gn, gf, g_d2t

@@ -53,6 +53,44 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 2.0 ** 30
 
+# Mosaic's scoped-vmem (stack + scratch) limit on v5e.  BENCH_r04 recorded
+# the hard failure that motivates the shape-aware tiling below: at
+# N=2048, tile_m=512 this kernel's scoped allocation was 18.52 MB against
+# the 16 MB limit ("Scoped allocation with size 18.52M and limit 16.00M").
+_MOSAIC_SCOPED_VMEM = 16 * 2 ** 20
+# Leave headroom: the estimate is linear-model coarse and Mosaic's stack
+# accounting is not ours to predict exactly.
+_SCOPED_BUDGET = 13 * 2 ** 20
+
+
+def _sa_scoped_bytes(n: int, tile_m: int) -> int:
+    """Conservative scoped-vmem estimate for one grid step of the fused-SA
+    kernel.  Everything that scales is [N, tile_m]-shaped f32: the d2t
+    input block, the rank scratch, and the Hillis-Steele prefix-scan
+    temporaries (log2 N shift-add passes whose concat temps live on the
+    Mosaic stack).  Calibrated against the observed failure: 18.52 MB at
+    N=2048, tile_m=512 is 4.42 f32 words per N*tile_m element; we charge
+    5 (the model must never under-estimate an observed failure —
+    tests/test_pallas_sa.py pins this).  Block inputs smaller than
+    [N, tile_m] (data [N, C], weights, the [c_out, tile_m] output) are
+    inside the margin."""
+    return 5 * 4 * n * tile_m
+
+
+def pick_tile_m(n: int, scoped_bytes=_sa_scoped_bytes, *, cap: int = 512,
+                budget: int = _SCOPED_BUDGET):
+    """Largest tile_m in {cap, cap/2, ..., 128} whose scoped-vmem estimate
+    fits the budget, or None when even 128 does not fit — the caller MUST
+    then fall back to the XLA path instead of compile-crashing the graph
+    (VERDICT r4: a lowering OOM must degrade performance, never brick the
+    production graph)."""
+    tm = cap
+    while tm >= 128:
+        if scoped_bytes(n, tm) <= budget:
+            return tm
+        tm //= 2
+    return None
+
 
 def _make_sa_kernel(r2: float, nsample: int, chans: Sequence[Tuple[int, int]],
                     use_xyz: bool, n_feat: int, with_grouped: bool):
@@ -265,8 +303,12 @@ def _fused_sa_impl(xyz, new_xyz, features, params, radius, nsample,
             else jnp.concatenate([xyz, features], axis=-1))
     # width cap: the kernel unrolls per-channel selects and rank-1 MLP
     # updates, so wide inputs would blow the Mosaic program; stage-1's
-    # data is 4 channels
+    # data is 4 channels.  tile_m is shape-aware: the scoped-vmem footprint
+    # scales with N*tile_m (see _sa_scoped_bytes), and a None pick means no
+    # tile fits — structural fallback, not a compile crash.
+    tile_m = pick_tile_m(xyz.shape[1])
     ok = (data.dtype == jnp.float32 and use_xyz and data.shape[-1] <= 8
+          and tile_m is not None
           and (on_tpu() or _FORCE_PALLAS_INTERPRET))
     if not ok:
         d2 = None if d2t is None else jnp.swapaxes(d2t, 1, 2)
@@ -287,7 +329,8 @@ def _fused_sa_impl(xyz, new_xyz, features, params, radius, nsample,
         jnp.stack([a, b], axis=1) for _, a, b in params)
     return _sa_pallas(d2t, data, new_xyz.transpose(0, 2, 1), flat,
                       float(radius) * float(radius), nsample, use_xyz,
-                      shapes, interpret=_FORCE_PALLAS_INTERPRET,
+                      shapes, tile_m=tile_m,
+                      interpret=_FORCE_PALLAS_INTERPRET,
                       with_grouped=with_grouped)
 
 
@@ -320,8 +363,14 @@ def _fsa_bwd(radius, nsample, use_xyz, res, g):
     xyz, new_xyz, features, params, d2t, grouped = res
     g_d2t = None if d2t is None else jnp.zeros_like(d2t)
 
-    _, vjp_mlp = jax.vjp(_mlp_max, grouped, params)
-    g_grouped, gp = vjp_mlp(g)
+    # Pin the recomputed MLP to true f32: the fused forward ran f32 rank-1
+    # FMAs, while the platform default quantises matmuls to bf16 passes —
+    # on near-ties in the neighbour max the default-precision replay could
+    # argmax a different neighbour than the kernel's running max and emit a
+    # subgradient inconsistent with the actual forward (advisor r4).
+    with jax.default_matmul_precision("highest"):
+        _, vjp_mlp = jax.vjp(_mlp_max, grouped, params)
+        g_grouped, gp = vjp_mlp(g)
 
     def group_fn(x, nx, f):
         return fused_query_group(x, nx, f, radius, nsample, use_xyz, d2t)

@@ -6,7 +6,14 @@ Interpret-mode tests (tests/test_pallas_group.py) do NOT catch TPU
 lowering-constraint errors — run this after any kernel change (same
 protocol as scripts/pallas_tpu_attempt.py for the NN kernel).
 
-    python scripts/pallas_group_attempt.py [--batch 32 --points 1024]
+    python scripts/pallas_group_attempt.py [--batch 32 --points 1024,2048]
+
+``--points`` is a comma list and DEFAULTS to both production stage-1
+shapes: N=1024 (train) and N=2048 (the reference eval point count,
+`/root/reference/interdiff/data/prepare_behave.py:92`) — the round-4
+fused-SA kernel was "chip-verified" only at 1024 and OOMed scoped vmem at
+2048 in the driver bench (BENCH_r04).  Stage-2 (N=1024, M=1) never
+reaches the kernels: its 99-channel data fails the _MAX_C width gate.
 """
 
 import argparse
@@ -49,13 +56,20 @@ def chain(name, op, x0, reps=5):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--points", type=int, default=1024)
+    ap.add_argument("--points", type=str, default="1024,2048",
+                    help="comma list; every production stage-1 shape "
+                    "must be gated (train 1024, eval 2048)")
     ap.add_argument("--quick", action="store_true",
                     help="correctness/lowering gate only - skip the "
                     "slope-timed perf chains (each chain compiles two "
                     "fori_loop graphs over the tunnel)")
     args = ap.parse_args()
-    B, P = args.batch, args.points
+    for p in (int(s) for s in args.points.split(",")):
+        print(f"===== gate at points={p} =====", flush=True)
+        run_gate(args.batch, p, args.quick)
+
+
+def run_gate(B, P, quick):
     M = min(1024, P)
 
     print("platform:", jax.devices()[0].platform, flush=True)
@@ -140,22 +154,23 @@ def main():
     # ---- fused-SA grad path: exercises the with_grouped kernel variant
     # (dynamic per-slot store on the untiled S axis) + the saved-residual
     # dense-MLP VJP on chip; reference grads differentiate the XLA
-    # pipeline on the SAME shared d2 bits.  Both sides run at the
-    # platform-DEFAULT matmul precision: param grads are identical dense
-    # ops over the identical grouped tensor on both sides, so the right
-    # differential is same-precision (pinning only the reference measured
-    # 4.4e-3 of the REFERENCE's own bf16-vs-f32 gap, not kernel error —
-    # same artifact class as the forward comparison) -----------------------
+    # pipeline on the SAME shared d2 bits.  Since round 5 the production
+    # backward pins its _mlp_max replay to HIGHEST matmul precision
+    # (advisor r4: the default bf16 replay could argmax a different
+    # neighbour than the kernel's f32 running max), so the reference side
+    # is pinned too — both grads are then identical f32 dense ops over the
+    # identical grouped tensor ---------------------------------------------
     for name, r, ns, ch in sa_cfg:
         print(f"compiling fused-SA grad pair {name} ...", flush=True)
         gp = jax.jit(jax.grad(
             lambda p, x, d, n=ns, rr=r: jnp.sum(fused_sa_scale(
                 x, x[:, :M], jnp.sum(x, -1, keepdims=True), p, rr, n,
                 True, d))))(sa_params[name], xyz, d2t_shared)
-        gw = jax.jit(jax.grad(
-            lambda p, x, d, n=ns, rr=r: jnp.sum(_sa_reference(
-                x, x[:, :M], jnp.sum(x, -1, keepdims=True), p, rr, n,
-                True, d))))(sa_params[name], xyz, d2_ref)
+        with jax.default_matmul_precision("highest"):
+            gw = jax.jit(jax.grad(
+                lambda p, x, d, n=ns, rr=r: jnp.sum(_sa_reference(
+                    x, x[:, :M], jnp.sum(x, -1, keepdims=True), p, rr, n,
+                    True, d))))(sa_params[name], xyz, d2_ref)
         gerr = max(float(np.abs(np.asarray(a) - np.asarray(b)).max() /
                          (np.abs(np.asarray(b)).max() + 1e-12))
                    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gw)))
@@ -163,7 +178,7 @@ def main():
         if not np.isfinite(gerr) or gerr > 1e-4:
             sys.exit(1)
 
-    if args.quick:
+    if quick:
         print("quick gate ok (correctness + lowering only)", flush=True)
         return
 

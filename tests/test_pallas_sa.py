@@ -182,3 +182,91 @@ def test_samodule_train_mode_stays_unfused(force_interpret):
     pg._FORCE_PALLAS_INTERPRET = True
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                rtol=2e-5, atol=1e-5)
+
+
+class TestScopedVmemGuard:
+    """VERDICT r4 items 1+3: shape-aware tile_m + structural fallback.
+
+    BENCH_r04 recorded the calibration point: at N=2048, tile_m=512 the
+    fused-SA kernel's scoped allocation was 18.52 MB > the 16 MB Mosaic
+    limit, compile-crashing every encoder-bearing chip graph at the
+    reference eval point count."""
+
+    def test_model_covers_observed_failure(self):
+        from interdiff_tpu.ops.pallas_sa import _sa_scoped_bytes
+
+        observed = int(18.52 * 2 ** 20)  # BENCH_r04 failure
+        assert _sa_scoped_bytes(2048, 512) >= observed
+
+    def test_tile_choices(self):
+        from interdiff_tpu.ops.pallas_sa import pick_tile_m
+
+        # train shape: chip-verified good at 512 — must stay 512
+        assert pick_tile_m(1024) == 512
+        # reference eval shape: 512 OOMed on chip — must shrink
+        assert pick_tile_m(2048) in (128, 256)
+        # nothing fits -> None (caller falls back to XLA)
+        assert pick_tile_m(1 << 22) is None
+
+    def test_group_tile_choices(self):
+        from interdiff_tpu.ops.pallas_group import (
+            _group_scoped_bytes,
+            _pick_group_tile_m,
+        )
+
+        # chip calibration 2026-08-20: 16.04 MB OOM observed at 2048x512
+        assert _group_scoped_bytes(2048, 512) >= int(16.04 * 2 ** 20)
+        assert _pick_group_tile_m(2048) in (128, 256)
+        # train shape chip-verified good at 512 (round-4 train bench)
+        assert _pick_group_tile_m(1024) == 512
+        assert _pick_group_tile_m(1 << 22) is None
+
+    def test_oversized_shape_falls_back(self, force_interpret, monkeypatch):
+        """A shape whose every tile over-budgets must route to the XLA
+        reference instead of reaching pallas_call."""
+        import interdiff_tpu.ops.pallas_sa as psa
+
+        def boom(*a, **k):
+            raise AssertionError("pallas path must not be reached")
+
+        monkeypatch.setattr(psa, "_sa_pallas", boom)
+        monkeypatch.setattr(psa, "pick_tile_m", lambda *a, **k: None)
+        rng = np.random.default_rng(9)
+        xyz = jnp.asarray(rng.standard_normal((1, 32, 3)), jnp.float32)
+        params = _params(rng, ((3, 8),))
+        out = fused_sa_scale(xyz, xyz[:, :8], None, params, 0.5, 4, True)
+        want = _sa_reference(xyz, xyz[:, :8], None, params, 0.5, 4, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=2e-5, atol=1e-5)
+
+    def test_oversized_group_falls_back(self, force_interpret, monkeypatch):
+        import interdiff_tpu.ops.pallas_group as pgm
+
+        def boom(*a, **k):
+            raise AssertionError("pallas path must not be reached")
+
+        monkeypatch.setattr(pgm, "_select_sum_pallas", boom)
+        monkeypatch.setattr(pgm, "_pick_group_tile_m", lambda n: None)
+        rng = np.random.default_rng(10)
+        xyz = jnp.asarray(rng.standard_normal((1, 32, 3)), jnp.float32)
+        out = pgm.fused_query_group(xyz, xyz[:, :8], None, 0.5, 4, True)
+        want = pgm._reference_group(xyz, xyz[:, :8], None, 0.5, 4, True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+    def test_small_tile_matches_reference(self, force_interpret,
+                                          monkeypatch):
+        """tile_m=128 (the shrunken pick) stays correct — interpret-mode
+        equality at a tile-boundary-exercising shape."""
+        import interdiff_tpu.ops.pallas_sa as psa
+
+        monkeypatch.setattr(psa, "pick_tile_m", lambda *a, **k: 128)
+        rng = np.random.default_rng(11)
+        B, N, M, F = 1, 64, 160, 1  # M pads to 2 tiles of 128
+        xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+        new_xyz = jnp.asarray(rng.standard_normal((B, M, 3)), jnp.float32)
+        feats = jnp.asarray(rng.standard_normal((B, N, F)), jnp.float32)
+        params = _params(rng, ((3 + F, 8), (8, 16)))
+        got = fused_sa_scale(xyz, new_xyz, feats, params, 0.5, 4, True)
+        want = _sa_reference(xyz, new_xyz, feats, params, 0.5, 4, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=1e-5)
