@@ -31,7 +31,11 @@ from interdiff_tpu.geometry.rotations import (
 )
 from interdiff_tpu.models.correction import ObjProjectorSmpl
 from interdiff_tpu.models.mdm_smpl import MDMSmpl
-from interdiff_tpu.ops.signed_distance import nearest_neighbor, signed_nearest
+from interdiff_tpu.ops.signed_distance import (
+    nearest_neighbor,
+    signed_nearest,
+    signed_nearest_pruned,
+)
 from interdiff_tpu.smpl.model import SmplModel, smpl_forward
 
 
@@ -43,6 +47,11 @@ class SmplEvalConfig:
     correction_t_max: int = 500  # active only at t <= 500 (`:85`)
     correction_every: int = 50  # ... and t % 50 == 0
     nn_chunk: Optional[int] = 512
+    # AABB segment pruning of the gate's object->body signed-NN sweep
+    # (`ops/signed_distance.signed_nearest_pruned`): bit-identical gate
+    # decisions as long as delta exceeds the body's max interior-to-vertex
+    # distance (~0.17 m for SMPL-scale bodies).  None disables (full sweep).
+    nn_prune_delta: Optional[float] = 0.25
 
     @property
     def seq_len(self) -> int:
@@ -108,8 +117,16 @@ def make_correction_denoised_fn(
         # squared distance and the pseudonormal dot at the argmin — no
         # argmin-index gathers (they cost more than the NN itself on v5e)
         normals_fut = vertex_normals(verts_fut, np.asarray(smpl.faces))
-        o2h_sq, o2h_dot = signed_nearest(
-            obj_fut, verts_fut, normals_fut, chunk=cfg.nn_chunk)
+        if cfg.nn_prune_delta is not None:
+            # segment-pruned sweep: bit-identical w/loss_dist_o/condition
+            # (the consumer zeroes every beyond-delta contribution — see
+            # signed_nearest_pruned's contract)
+            o2h_sq, o2h_dot = signed_nearest_pruned(
+                obj_fut, verts_fut, normals_fut,
+                delta=cfg.nn_prune_delta, chunk=cfg.nn_chunk)
+        else:
+            o2h_sq, o2h_dot = signed_nearest(
+                obj_fut, verts_fut, normals_fut, chunk=cfg.nn_chunk)
         o2h_signed = (jnp.sqrt(o2h_sq) * jnp.sign(o2h_dot)
                       ).reshape(B, Tf, -1)
 

@@ -157,6 +157,155 @@ def signed_nearest_pallas(a: jax.Array, b: jax.Array, n: jax.Array, *,
 
 _FORCE_INTERPRET = False  # tests flip this to exercise the VJP off-TPU
 
+# ---------------------------------------------------------------------------
+# Pruned signed-NN sweep: segment the surface axis, skip far segments.
+#
+# The full-size correction gate's object->body sweep (800 x 2048 x 6890)
+# runs AT the VPU roof (round-4 decomposition: 65.6 of 81.5 ms), so the
+# remaining factor is algorithmic: most body vertices can never be the
+# nearest neighbour of any object point — the object is compact, so verts
+# far from the object's AABB are provably irrelevant.  The surface axis is
+# cut into SEG-sized segments; a per-(frame, segment) flag says whether ANY
+# vert of the segment lies within ``delta`` of the query cloud's AABB
+# (box distance, computed in XLA — O(M) per frame).  The kernel walks
+# segments on the innermost grid axis with the running (min, argmin, sdot)
+# accumulated in the revisited output blocks, and `pl.when(flag)` skips the
+# VPU work of far segments entirely (their block DMA still streams — 48 KB
+# per skipped step, bandwidth-trivial next to the saved FMAs).
+#
+# EXACTNESS CONTRACT (callers rely on this — `eval/smpl_short.py` gate):
+# for every query q, if the TRUE nearest-vert distance d(q) < delta then
+# the pruned result is BIT-EQUAL to the full sweep (same per-pair
+# arithmetic, same first-occurrence argmin: a true NN vert within delta of
+# q, which lies inside the query AABB, has box-distance < delta, so its
+# segment is flagged and swept).  Otherwise the wrapper returns exactly
+# (delta^2, +1.0): d_pruned >= delta implies d(q) >= delta, and with
+# delta >= the body's maximum interior-point-to-nearest-vertex distance
+# (~0.17 m for SMPL-scale meshes; default 0.25) such a point is provably
+# OUTSIDE the body, so its penetration contribution is zero under either
+# path.  Queries are NOT differentiable through this op (the gate is a
+# sampling-time test); training keeps the full kernel.
+# ---------------------------------------------------------------------------
+
+_SEG_INF = 3.0e38  # running-min init; beats every real |b|^2-2ab score
+
+
+def _make_seg_signed_kernel(n_seg: int):
+    def kernel(flag_ref, a_ref, bt_ref, nt_ref, dist_ref, sdot_ref,
+               idx_ref):
+        g = pl.program_id(2)
+        seg = bt_ref.shape[2]
+
+        @pl.when(g == 0)
+        def _():
+            dist_ref[...] = jnp.full(dist_ref.shape, _SEG_INF, jnp.float32)
+            sdot_ref[...] = jnp.ones(sdot_ref.shape, jnp.float32)
+            idx_ref[...] = jnp.zeros(idx_ref.shape, jnp.int32)
+
+        @pl.when(flag_ref[0, 0] != 0)
+        def _():
+            base = g * seg
+            for r in range(_BB):  # unrolled: 2D ops only
+                a = a_ref[r]  # [TA, 3]
+                bt = bt_ref[r]  # [3, SEG]
+                nt = nt_ref[r]
+                scores = _row_scores(a, bt)  # [TA, SEG]
+                nb = jnp.sum(nt * bt, axis=0, keepdims=True)
+                s = _row_dots(a, nt) - nb
+                amin = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+                iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+                loc_min = jnp.min(scores, axis=-1)
+                loc_sdot = jnp.sum(
+                    jnp.where(iota == amin[:, None], s, 0.0), axis=-1)
+                # strict < keeps the FIRST-occurrence argmin across
+                # segments (within-segment argmin is first-occurrence)
+                better = loc_min < dist_ref[r]
+                dist_ref[r] = jnp.where(better, loc_min, dist_ref[r])
+                sdot_ref[r] = jnp.where(better, loc_sdot, sdot_ref[r])
+                idx_ref[r] = jnp.where(better, amin + base, idx_ref[r])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("delta", "seg", "tile_a",
+                                             "interpret"))
+def signed_nearest_pruned_pallas(a: jax.Array, b: jax.Array, n: jax.Array,
+                                 *, delta: float = 0.25, seg: int = 512,
+                                 tile_a: int = 128,
+                                 interpret: bool = False
+                                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Segment-pruned fused signed-NN (see the contract block above).
+
+    a: [B, N, 3] queries, b: [B, M, 3] surface verts, n: [B, M, 3]
+    pseudonormals -> (sq_dist, sdot, idx), each [B, N]; results bit-equal
+    to :func:`signed_nearest_pallas` wherever true distance < ``delta``,
+    exactly ``(delta**2, +1.0, 0)`` beyond."""
+    B, N, _ = a.shape
+    M = b.shape[1]
+    m_pad = (-M) % seg
+    if m_pad:
+        # far sentinel verts never win the min and never flag a segment
+        b = jnp.pad(b, ((0, 0), (0, m_pad), (0, 0)), constant_values=1e6)
+        n = jnp.pad(n, ((0, 0), (0, m_pad), (0, 0)))
+    Mp = M + m_pad
+    n_seg = Mp // seg
+
+    # per-(frame, segment) flags from the vert-to-query-AABB box distance
+    qlo = jnp.min(a, axis=1)  # [B, 3]
+    qhi = jnp.max(a, axis=1)
+    excess = jnp.maximum(jnp.maximum(qlo[:, None, :] - b,
+                                     b - qhi[:, None, :]), 0.0)
+    boxd2 = jnp.sum(excess * excess, axis=-1)  # [B, Mp]
+    seg_min = jnp.min(boxd2.reshape(B, n_seg, seg), axis=-1)
+    frame_flags = seg_min < delta * delta  # [B, n_seg]
+
+    b_pad = (-B) % _BB
+    n_pad = (-N) % tile_a
+    a_p = jnp.pad(a, ((0, b_pad), (0, n_pad), (0, 0))) \
+        if (b_pad or n_pad) else a
+    bt = jnp.swapaxes(jnp.pad(b, ((0, b_pad), (0, 0), (0, 0)))
+                      if b_pad else b, 1, 2)
+    nt = jnp.swapaxes(jnp.pad(n, ((0, b_pad), (0, 0), (0, 0)))
+                      if b_pad else n, 1, 2)
+    Bp, Np = B + b_pad, N + n_pad
+    # one flag per 8-row batch block: sweep the segment if ANY row needs it
+    # (padding rows never flag)
+    ff = jnp.pad(frame_flags, ((0, b_pad), (0, 0))) if b_pad \
+        else frame_flags
+    block_flags = jnp.max(ff.reshape(Bp // _BB, _BB, n_seg),
+                          axis=1).astype(jnp.int32)
+
+    dist, sdot, idx = pl.pallas_call(
+        _make_seg_signed_kernel(n_seg),
+        grid=(Bp // _BB, Np // tile_a, n_seg),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j, g: (i, g),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BB, tile_a, 3), lambda i, j, g: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BB, 3, seg), lambda i, j, g: (i, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BB, 3, seg), lambda i, j, g: (i, 0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((_BB, tile_a), lambda i, j, g: (i, j),
+                                memory_space=pltpu.VMEM)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((Bp, Np), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((Bp, Np), jnp.int32)],
+        interpret=interpret,
+    )(block_flags, a_p, bt, nt)
+
+    a2 = jnp.sum(a * a, axis=-1)
+    sq = jnp.maximum(dist[:B, :N] + a2, 0.0)
+    sdot = sdot[:B, :N]
+    idx = idx[:B, :N]
+    d2 = jnp.float32(delta) * jnp.float32(delta)
+    # beyond-delta queries (incl. rows whose every segment was skipped —
+    # running min still _SEG_INF) get the forced (delta^2, +1, 0) triple
+    far = sq >= d2
+    return (jnp.where(far, d2, sq), jnp.where(far, 1.0, sdot),
+            jnp.where(far, 0, idx))
+
 
 @jax.custom_vjp
 def nearest_neighbor_pallas_diff(a: jax.Array, b: jax.Array

@@ -164,6 +164,43 @@ def signed_nearest(a: jax.Array, b: jax.Array, n: jax.Array, *,
     return sq, sdot
 
 
+def signed_nearest_pruned(a: jax.Array, b: jax.Array, n: jax.Array, *,
+                          delta: float = 0.25,
+                          chunk: Optional[int] = None,
+                          use_pallas: Optional[bool] = None
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """:func:`signed_nearest` with AABB segment pruning of the surface.
+
+    Results are BIT-EQUAL to ``signed_nearest`` for every query whose true
+    nearest-vert distance is < ``delta``; beyond that the pair is forced to
+    exactly ``(delta**2, +1.0)``.  Sound for consumers that only use (a)
+    the sign and (b) the magnitude of NEGATIVE (penetrating) distances —
+    the correction gate (`eval/smpl_short.py`) and the `penetrate` metric —
+    PROVIDED ``delta`` exceeds the body's maximum interior-point-to-
+    nearest-vertex distance (~0.17 m for SMPL-scale meshes): any point
+    farther than ``delta`` from every vertex is then provably outside, so
+    its true sign is ``+`` and its true contribution is zero under either
+    path.  NOT differentiable — training keeps the full sweep.  On TPU this
+    skips the VPU work of far surface segments inside one Pallas kernel
+    (`ops/pallas_nn.py::signed_nearest_pruned_pallas`); off TPU it runs
+    the full sweep and applies the same forcing (bit-identical contract,
+    zero savings — CI parity only)."""
+    if use_pallas is None:
+        from interdiff_tpu.ops.pallas_nn import on_tpu
+
+        use_pallas = on_tpu()
+    if use_pallas and a.shape[-1] == 3 and a.ndim >= 2:
+        from interdiff_tpu.ops.pallas_nn import signed_nearest_pruned_pallas
+
+        (a3, b3, n3), unflatten = _flatten_for_pallas(a, b, n)
+        d, s, _ = signed_nearest_pruned_pallas(a3, b3, n3, delta=delta)
+        return unflatten(d), unflatten(s)
+    sq, sdot = signed_nearest(a, b, n, chunk=chunk, use_pallas=False)
+    d2 = jnp.float32(delta) * jnp.float32(delta)
+    far = sq >= d2
+    return jnp.where(far, d2, sq), jnp.where(far, 1.0, sdot)
+
+
 def _gather(points: jax.Array, idx: jax.Array) -> jax.Array:
     """points [..., P, D], idx [..., Q] -> [..., Q, D]."""
     return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32)

@@ -148,3 +148,112 @@ def test_dispatch_flattens_batch_dims_and_broadcasts_surface(rng,
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(ss_pal), np.asarray(ss_ref),
                                atol=1e-4)
+
+
+class TestSignedNearestPruned:
+    """Segment-pruned sweep (VERDICT r4 item 4): bit-equal to the full
+    kernel wherever true distance < delta, exactly (delta^2, +1, 0)
+    beyond, and far segments actually skipped."""
+
+    def _clouds(self, rng, B=2, N=200, M=1100):
+        # surface spread along x so distinct segments are near/far
+        b = rng.standard_normal((B, M, 3)).astype(np.float32) * 0.1
+        b[..., 0] += np.linspace(0.0, 4.0, M, dtype=np.float32)
+        # half the queries hover over the first quarter of the surface,
+        # half float far above it (true distance > delta)
+        a = rng.standard_normal((B, N, 3)).astype(np.float32) * 0.15
+        a[..., 0] += rng.uniform(0.0, 1.0, (B, N)).astype(np.float32)
+        a[:, : N // 2, 1] += 3.0
+        n = rng.standard_normal((B, M, 3)).astype(np.float32)
+        return jnp.asarray(a), jnp.asarray(b), jnp.asarray(n)
+
+    def test_bit_equal_within_delta_forced_beyond(self, rng):
+        from interdiff_tpu.ops.pallas_nn import (
+            signed_nearest_pallas,
+            signed_nearest_pruned_pallas,
+        )
+
+        a, b, n = self._clouds(rng)
+        delta = 0.5
+        d_full, s_full, i_full = signed_nearest_pallas(
+            a, b, n, interpret=True)
+        d_pr, s_pr, i_pr = signed_nearest_pruned_pallas(
+            a, b, n, delta=delta, seg=256, interpret=True)
+        near = np.asarray(d_full) < delta * delta
+        assert near.any() and (~near).any()  # both regimes exercised
+        np.testing.assert_array_equal(np.asarray(d_pr)[near],
+                                      np.asarray(d_full)[near])
+        np.testing.assert_array_equal(np.asarray(s_pr)[near],
+                                      np.asarray(s_full)[near])
+        np.testing.assert_array_equal(np.asarray(i_pr)[near],
+                                      np.asarray(i_full)[near])
+        far = ~near
+        np.testing.assert_array_equal(np.asarray(d_pr)[far],
+                                      delta * delta)
+        np.testing.assert_array_equal(np.asarray(s_pr)[far], 1.0)
+        np.testing.assert_array_equal(np.asarray(i_pr)[far], 0)
+
+    def test_all_far_forces_everything(self, rng):
+        from interdiff_tpu.ops.pallas_nn import signed_nearest_pruned_pallas
+
+        a = jnp.asarray(rng.standard_normal((1, 64, 3)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((1, 512, 3)).astype(np.float32)
+                        + 50.0)
+        n = jnp.asarray(rng.standard_normal((1, 512, 3)).astype(np.float32))
+        d, s, i = signed_nearest_pruned_pallas(a, b, n, delta=0.25,
+                                               seg=256, interpret=True)
+        np.testing.assert_array_equal(np.asarray(d), 0.25 * 0.25)
+        np.testing.assert_array_equal(np.asarray(s), 1.0)
+        np.testing.assert_array_equal(np.asarray(i), 0)
+
+    def test_wrapper_fallback_matches_pallas_contract(self, rng):
+        """Off-TPU wrapper path (full sweep + forcing) == pruned kernel."""
+        from interdiff_tpu.ops.pallas_nn import signed_nearest_pruned_pallas
+        from interdiff_tpu.ops.signed_distance import signed_nearest_pruned
+
+        a, b, n = self._clouds(rng)
+        delta = 0.5
+        d_w, s_w = signed_nearest_pruned(a, b, n, delta=delta,
+                                         use_pallas=False)
+        d_k, s_k, _ = signed_nearest_pruned_pallas(a, b, n, delta=delta,
+                                                   seg=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(d_w), np.asarray(d_k),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s_w), np.asarray(s_k),
+                                   atol=1e-5)
+
+    def test_gate_terms_bit_equal(self, rng):
+        """The correction-gate consumer (w / loss_dist_o) is bit-identical
+        pruned vs full — the soundness claim the gate relies on.  Needs a
+        CLOSED body with outward normals and delta >= its max interior-to-
+        vertex distance (here: a 0.4-radius vert sphere, delta 0.5) —
+        with arbitrary normals/open geometry the claim does NOT hold,
+        which is why the gate documents the delta requirement."""
+        from interdiff_tpu.ops.signed_distance import signed_nearest_pruned
+
+        B, N, M = 2, 300, 1100
+        dirs = rng.standard_normal((B, M, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        b = jnp.asarray(0.4 * dirs)  # dense sphere: D_int ~ 0.4 < 0.5
+        n = jnp.asarray(dirs)  # outward normals
+        qdir = rng.standard_normal((B, N, 3)).astype(np.float32)
+        qdir /= np.linalg.norm(qdir, axis=-1, keepdims=True)
+        radii = np.concatenate([
+            rng.uniform(0.0, 0.35, (B, N // 3)),     # inside (penetrating)
+            rng.uniform(0.45, 0.8, (B, N // 3)),     # near outside
+            rng.uniform(2.0, 3.0, (B, N - 2 * (N // 3))),  # far outside
+        ], axis=1).astype(np.float32)
+        a = jnp.asarray(qdir * radii[..., None])
+        d_f, s_f = signed_nearest(a, b, n, use_pallas=False)
+        assert (np.asarray(s_f) < 0).any()  # penetrating regime exercised
+        d_p, s_p = signed_nearest_pruned(a, b, n, delta=0.5,
+                                         use_pallas=False)
+
+        def gate_terms(sq, sdot):
+            signed = jnp.sqrt(jnp.maximum(sq, 0.0)) * jnp.sign(sdot)
+            w = jnp.where(signed < 0, 20.0, 0.0)
+            return jnp.abs(signed) * w
+
+        np.testing.assert_array_equal(
+            np.asarray(gate_terms(d_f, s_f)),
+            np.asarray(gate_terms(d_p, s_p)))
