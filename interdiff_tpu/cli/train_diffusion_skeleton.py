@@ -209,7 +209,7 @@ def main():
         from interdiff_tpu.utils.prefetch import device_prefetch, threaded_batches
 
         def _placed():
-            buf = []
+            buf, yielded = [], 0
             for b in threaded_batches(epoch_batches, num_workers=2):
                 buf.append(b)
                 if len(buf) < spd:
@@ -222,8 +222,20 @@ def main():
                                for k in buf[0]}
                     placed = step.place_batch(arr)
                 yield buf[-1], placed
+                yielded += 1
                 buf = []
-            # trailing partial stack dropped (would recompile at a new K)
+            # trailing partial stack dropped (would recompile at a new K);
+            # loudly flag it — fewer than K batches/epoch would otherwise
+            # train ZERO steps yet still validate/save (advisor r4)
+            if buf:
+                msg = (f"steps_per_dispatch={spd}: dropped trailing "
+                       f"partial stack of {len(buf)} batch(es)")
+                if yielded == 0:
+                    raise SystemExit(
+                        f"ERROR: {msg} and the epoch yielded NO full "
+                        f"stack — 0 train steps. Lower --steps_per_dispatch "
+                        f"or raise the dataset/--synthetic size.")
+                print(f"WARNING: {msg}", flush=True)
 
         for batch_np_last, batch in _placed():
             key, k_step = jax.random.split(key)

@@ -27,6 +27,12 @@ def main():
     parser.add_argument("--past_len", type=int, default=10)
     parser.add_argument("--future_len", type=int, default=25)
     parser.add_argument("--use_pointnet2", type=int, default=1)
+    parser.add_argument("--bn_train_mode", type=int, default=0,
+                        help="1 = run the PointNet++ encoder BatchNorms in "
+                        "train mode (batch statistics + momentum running-"
+                        "stat updates, out of the optimizer — the reference "
+                        "Lightning semantics); 0 (default) keeps eval-mode "
+                        "BN with the stats inside the optimized tree")
     # model-size knobs mirroring the reference trainer's flags
     # (`interdiff/train_diffusion_smpl.py:538-604`)
     parser.add_argument("--embedding_dim", type=int, default=256)
@@ -143,13 +149,20 @@ def main():
         # history width in the state always matches the update logic
         schedule_sampler = LossSecondMomentResampler(diffusion.num_timesteps)
         sampler_state = schedule_sampler.init_state()
+    model_state = None
+    if args.bn_train_mode:
+        from interdiff_tpu.train.trainer import split_bn_state
+
+        params, model_state = split_bn_state(params)
     state = TrainState.create(params, adamw(args.lr),
                               sampler_state=sampler_state,
-                              ema_rate=args.ema_decay)
+                              ema_rate=args.ema_decay,
+                              model_state=model_state)
     mesh = make_mesh(batch_size=args.batch_size)
     spd = max(1, args.steps_per_dispatch)
     step_fn = make_smpl_train_step(model, diffusion,
-                                   schedule_sampler=schedule_sampler)
+                                   schedule_sampler=schedule_sampler,
+                                   bn_train_mode=bool(args.bn_train_mode))
     if spd > 1:
         from interdiff_tpu.train.trainer import chain_steps
 
@@ -327,7 +340,7 @@ def main():
         from interdiff_tpu.utils.prefetch import threaded_batches
 
         def _placed():
-            buf = []
+            buf, yielded = [], 0
             for b in threaded_batches(epoch_batches, num_workers=2):
                 buf.append(b)
                 if len(buf) < spd:
@@ -340,10 +353,23 @@ def main():
                                for k in keep}
                     placed = step.place_batch(arr)
                 yield buf[-1], placed
+                yielded += 1
                 buf = []
             # a trailing partial stack (< spd batches) is dropped: a
             # different K would trigger a fresh XLA compile for the epoch
-            # tail, and the loader reshuffles every epoch anyway
+            # tail, and the loader reshuffles every epoch anyway.  Loudly
+            # flag the drop — with fewer than K batches per epoch the loop
+            # would otherwise train ZERO steps and still validate/save
+            # (advisor r4).
+            if buf:
+                msg = (f"steps_per_dispatch={spd}: dropped trailing "
+                       f"partial stack of {len(buf)} batch(es)")
+                if yielded == 0:
+                    raise SystemExit(
+                        f"ERROR: {msg} and the epoch yielded NO full "
+                        f"stack — 0 train steps. Lower --steps_per_dispatch "
+                        f"or raise the dataset/--synthetic size.")
+                print(f"WARNING: {msg}", flush=True)
 
         for batch_np, batch in _placed():
             key, k_step = jax.random.split(key)
@@ -361,12 +387,23 @@ def main():
             # shadow weights — they are the serving weights
             val_params = (state.ema_params if state.ema_params is not None
                           else state.params)
+            if args.bn_train_mode:
+                # recombine the split BN collections so validation/sampling
+                # and the checkpoint see the usual full-variables layout
+                from interdiff_tpu.train.trainer import merge_bn_state
+
+                val_params = merge_bn_state(val_params, state.model_state)
             val_loss, val_terms = run_validation(
                 val_params,
                 batch_np if val_batch_np is None else val_batch_np, k_val)
             logger.log(i, {"val_loss": val_loss, **val_terms}, epoch=epoch)
             print(f"epoch {epoch} val_loss {val_loss:.4f}")
-            ckpt.save(i, jax.device_get(state.params), val_loss=val_loss)
+            save_params = state.params
+            if args.bn_train_mode:
+                from interdiff_tpu.train.trainer import merge_bn_state
+
+                save_params = merge_bn_state(state.params, state.model_state)
+            ckpt.save(i, jax.device_get(save_params), val_loss=val_loss)
             if ckpt_ema is not None:
                 ckpt_ema.save(i, jax.device_get(state.ema_params),
                               val_loss=val_loss)

@@ -121,12 +121,20 @@ class MDMSmpl(nn.Module):
 
     # -- conditioning --------------------------------------------------------
     def encode(self, gt: jax.Array, obj_points: jax.Array, *,
-               deterministic: bool = True) -> jax.Array:
+               deterministic: bool = True,
+               train_encoder: bool = False) -> jax.Array:
         """Conditioning memory from the gt state + object point cloud.
 
         gt [B,T,144] (build with :func:`smpl_gt_from_raw`), obj_points
         [B,P,>=3] (xyz used; the PointNet feature channel is ||xyz||, ref
         `diffusion_smpl.py:207-209`) -> memory [B, past_len, E].
+
+        ``train_encoder=True`` runs the PointNet++ BatchNorms in TRAIN mode
+        (batch statistics + running-stat updates — the reference trains
+        `PointnetSAModuleMSG`'s BN under Lightning training,
+        `interdiff/model/layers.py:118-139`); the caller must then apply
+        with ``mutable=["batch_stats"]`` (see
+        `train/trainer.py::make_smpl_train_step(bn_train_mode=True)`).
         """
         B = gt.shape[0]
         if self.dtype is not None:
@@ -139,7 +147,9 @@ class MDMSmpl(nn.Module):
         if self.use_pointnet2:
             pc = jnp.concatenate(
                 [xyz, jnp.linalg.norm(xyz, axis=-1, keepdims=True)], axis=-1)
-            pc_emb = self.pcEmbedding(pc[:, None]).reshape(B, 1, self.embed_dim)
+            pc_emb = self.pcEmbedding(
+                pc[:, None], train=train_encoder).reshape(
+                    B, 1, self.embed_dim)
         else:
             # Linear fallback over [xyz | normals] (ref flag use_pointnet2=0)
             pc_emb = self.pcEmbedding(obj_points[..., :6]).mean(

