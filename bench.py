@@ -517,9 +517,20 @@ def measure_tpu_correction() -> float:
       INTERDIFF_BENCH_BODY_V   stand-in watertight body verts (default 3072)
       INTERDIFF_BENCH_POINTS   object points (default 1024; reference 2048)
       INTERDIFF_BENCH_BATCH    batch (default 32)
+      INTERDIFF_BENCH_NN_PRUNE 0 disables the gate's AABB segment pruning
+                               (default on = the production default)
     The correction gate is scaled to the 100-step respaced schedule:
     t <= 50, every 5 -> 11 corrected steps per sample, the same 10-ish
     corrected fraction as the reference's 1000-step t<=500 %50 schedule.
+
+    Since round 5 the synthetic object CLOUD is compact (0.35 m diameter,
+    BEHAVE-object scale) instead of a unit ball: the pruned sweep's cost is
+    data-DEPENDENT (segments near the object are swept, far ones skipped),
+    so the bench geometry must be representative — a ~2 m random ball
+    object blankets the whole body and defeats any spatial pruning no real
+    workload would.  The UNPRUNED cost is per-pair and data-independent, so
+    the unpruned number stays comparable with the pre-round-5 32.5 seq/s
+    record.
     """
     import jax
 
@@ -545,14 +556,20 @@ def measure_tpu_correction() -> float:
     respacing = os.environ.get("INTERDIFF_BENCH_RESPACING", str(STEPS))
     diffusion = GaussianDiffusion.create_named(
         steps=1000, timestep_respacing=respacing)
-    cfg = SmplEvalConfig(correction_t_max=50, correction_every=5)
+    prune = os.environ.get("INTERDIFF_BENCH_NN_PRUNE", "1") != "0"
+    cfg = SmplEvalConfig(correction_t_max=50, correction_every=5,
+                         nn_prune_delta=0.25 if prune else None)
 
     projector = ObjProjectorSmpl()
     projector_params, _ = load_correction_smpl()
 
     gt = jnp.asarray(rng.standard_normal((B, T, 144)).astype(np.float32))
+    # compact object cloud (see docstring): xyz at BEHAVE-object scale,
+    # normal channels untouched
+    obj_scale = np.array([0.175, 0.175, 0.175, 1, 1, 1], np.float32)
     obj_points6 = jnp.asarray(
-        rng.standard_normal((B, P_corr, 6)).astype(np.float32))
+        (rng.standard_normal((B, P_corr, 6)) * obj_scale
+         ).astype(np.float32))
     hand = jnp.asarray(rng.standard_normal((B, T, 90)).astype(np.float32))
     betas = jnp.zeros((B, T, 10), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), gt, obj_points6,
