@@ -193,6 +193,10 @@ _SEG_INF = 3.0e38  # running-min init; beats every real |b|^2-2ab score
 def _make_seg_signed_kernel(n_seg: int):
     def kernel(flag_ref, a_ref, bt_ref, nt_ref, dist_ref, sdot_ref,
                idx_ref):
+        # flag_ref holds the FULL [n_blocks, n_seg] flag table in SMEM
+        # (Mosaic requires SMEM blocks to equal the array dims — a (1, 1)
+        # windowed spec fails lowering; observed on-chip 2026-08-20)
+        i = pl.program_id(0)
         g = pl.program_id(2)
         seg = bt_ref.shape[2]
 
@@ -202,7 +206,7 @@ def _make_seg_signed_kernel(n_seg: int):
             sdot_ref[...] = jnp.ones(sdot_ref.shape, jnp.float32)
             idx_ref[...] = jnp.zeros(idx_ref.shape, jnp.int32)
 
-        @pl.when(flag_ref[0, 0] != 0)
+        @pl.when(flag_ref[i, g] != 0)
         def _():
             base = g * seg
             for r in range(_BB):  # unrolled: 2D ops only
@@ -279,7 +283,7 @@ def signed_nearest_pruned_pallas(a: jax.Array, b: jax.Array, n: jax.Array,
         _make_seg_signed_kernel(n_seg),
         grid=(Bp // _BB, Np // tile_a, n_seg),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j, g: (i, g),
+            pl.BlockSpec(block_flags.shape, lambda i, j, g: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_BB, tile_a, 3), lambda i, j, g: (i, j, 0),
                          memory_space=pltpu.VMEM),

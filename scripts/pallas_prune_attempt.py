@@ -35,15 +35,23 @@ def main():
     print("platform:", jax.devices()[0].platform, flush=True)
     rng = np.random.default_rng(0)
 
-    # representative geometry: a body-sized closed vert cloud per frame
-    # (0.4-radius sphere + limb-scale noise, centred at origin) and a
-    # compact 0.35 m object whose per-frame centre wanders around the body
-    dirs = rng.standard_normal((R, V, 3)).astype(np.float32)
-    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    scale = rng.uniform(0.25, 0.55, (R, V, 1)).astype(np.float32)
-    body = dirs * scale  # [R, V, 3]
-    normals = dirs
-    centers = (rng.standard_normal((R, 1, 3)) * 0.8).astype(np.float32)
+    # representative geometry: the SAME construction as the bench's
+    # stand-in body (Fibonacci-sphere ellipsoid, vertices ORDERED BY
+    # HEIGHT — segments of consecutive verts are horizontal bands, the
+    # spatial coherence the segment pruning exploits; real SMPL topology
+    # is likewise patch-coherent), posed with per-frame wobble, plus a
+    # compact 0.35 m object whose per-frame centre wanders near the body
+    # (an interaction object is close to the body most of the time)
+    idx = np.arange(V, dtype=np.float64)
+    phi = np.pi * (3.0 - np.sqrt(5.0)) * idx
+    yy = 1.0 - 2.0 * (idx + 0.5) / V
+    rr = np.sqrt(np.maximum(1.0 - yy * yy, 0.0))
+    unit = np.stack([rr * np.cos(phi), yy, rr * np.sin(phi)], axis=1)
+    base = (unit * np.array([0.25, 0.85, 0.15])).astype(np.float32)
+    wobble = 1.0 + 0.05 * rng.standard_normal((R, 1, 1)).astype(np.float32)
+    body = base[None] * wobble  # [R, V, 3]
+    normals = np.broadcast_to(unit.astype(np.float32), body.shape).copy()
+    centers = (rng.standard_normal((R, 1, 3)) * 0.5).astype(np.float32)
     obj = (rng.standard_normal((R, Q, 3)) * 0.175).astype(np.float32) \
         + centers
 
