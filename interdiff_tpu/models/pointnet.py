@@ -84,16 +84,18 @@ class SAModuleMSG(nn.Module):
         fused = (c_data <= _MAX_C and data_dtype == jnp.float32
                  and (on_tpu() or _FORCE_PALLAS_INTERPRET))
         # FULLY-fused scale (grouping + folded conv/BN/ReLU + max in one
-        # Pallas pass, ops/pallas_sa.py): inference-mode BN only — our
-        # diffusion training runs the encoder with train=False (running
-        # stats), so this is the production TRAIN path too.  The backward
-        # falls back to the XLA reference VJP.  INTERDIFF_NO_FUSED_SA=1
-        # (trace-time env) keeps the rank-select kernel route instead —
-        # the A/B lever for fused-SA vs rank-select measurements.
+        # Pallas pass, ops/pallas_sa.py): OPT-IN via INTERDIFF_FUSED_SA=1
+        # (trace-time env).  The round-5 chip A/B (scripts/ab_fused_sa.py)
+        # measured the rank-select route FASTER at every routed shape —
+        # encoder fwd 5.51 vs 8.56 ms (P=1024) and 16.67 vs 20.97 ms
+        # (P=2048), fwd+bwd 10.95 vs 15.42 / 21.80 vs 27.64 ms — the
+        # in-kernel rank-1 VPU MLP loses to XLA's MXU matmuls over the
+        # kernel-grouped tensor, so rank-select is the production default
+        # and fused-SA stays available for future re-evaluation.
         import os
 
         fused_sa = (fused and self.use_xyz and not train
-                    and not os.environ.get("INTERDIFF_NO_FUSED_SA"))
+                    and bool(os.environ.get("INTERDIFF_FUSED_SA")))
         d2 = (pairwise_sqdist_t(xyz, new_xyz) if fused
               else pairwise_sqdist(new_xyz, xyz))
         outs = []

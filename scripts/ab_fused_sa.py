@@ -52,11 +52,11 @@ def encoder_ab(B, P):
     ep = enc.init(jax.random.PRNGKey(0), pc)
 
     out = {}
-    for label, env in (("fused-SA", None), ("rank-select", "1")):
+    for label, env in (("fused-SA", "1"), ("rank-select", None)):
         if env is None:
-            os.environ.pop("INTERDIFF_NO_FUSED_SA", None)
+            os.environ.pop("INTERDIFF_FUSED_SA", None)
         else:
-            os.environ["INTERDIFF_NO_FUSED_SA"] = env
+            os.environ["INTERDIFF_FUSED_SA"] = env
         fwd = chain(f"[{label}] encoder fwd  B={B} P={P}",
                     lambda x: enc.apply(ep, x), pc)
         bwd = chain(f"[{label}] encoder f+b  B={B} P={P}",
@@ -99,11 +99,11 @@ def train_step_ab(B, P):
     step = make_smpl_train_step(model, diffusion)
 
     out = {}
-    for label, env in (("fused-SA", None), ("rank-select", "1")):
+    for label, env in (("fused-SA", "1"), ("rank-select", None)):
         if env is None:
-            os.environ.pop("INTERDIFF_NO_FUSED_SA", None)
+            os.environ.pop("INTERDIFF_FUSED_SA", None)
         else:
-            os.environ["INTERDIFF_NO_FUSED_SA"] = env
+            os.environ["INTERDIFF_FUSED_SA"] = env
         state = TrainState.create(params, adamw())
 
         def one(st_and_key):

@@ -143,9 +143,11 @@ def test_fused_sa_grad_with_shared_d2_and_no_features(force_interpret):
                                    rtol=1e-5, atol=1e-6)
 
 
-def test_samodule_routes_fused_sa(force_interpret):
+def test_samodule_routes_fused_sa(force_interpret, monkeypatch):
     """SAModuleMSG output with the fused-SA path (interpret) matches the
-    unfused XLA path on the SAME parameters."""
+    unfused XLA path on the SAME parameters.  Fused-SA is opt-in since the
+    round-5 A/B (rank-select measured faster at every routed shape)."""
+    monkeypatch.setenv("INTERDIFF_FUSED_SA", "1")
     rng = np.random.default_rng(5)
     B, N = 2, 64
     xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
@@ -164,9 +166,11 @@ def test_samodule_routes_fused_sa(force_interpret):
                                rtol=2e-5, atol=1e-5)
 
 
-def test_samodule_train_mode_stays_unfused(force_interpret):
-    """train=True (batch-stats BN) must NOT route the folded fused path;
-    the call still works and matches itself with the gate off."""
+def test_samodule_train_mode_stays_unfused(force_interpret, monkeypatch):
+    """train=True (batch-stats BN) must NOT route the folded fused path
+    even when fused-SA is opted in; the call still works and matches
+    itself with the gate off."""
+    monkeypatch.setenv("INTERDIFF_FUSED_SA", "1")
     rng = np.random.default_rng(6)
     B, N = 2, 64
     xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
