@@ -18,7 +18,10 @@ from interdiff_tpu.geometry.rotations import (
     axis_angle_to_matrix,
     axis_angle_to_quaternion,
 )
-from interdiff_tpu.ops.signed_distance import signed_nearest
+from interdiff_tpu.ops.signed_distance import (
+    signed_nearest,
+    signed_nearest_pruned,
+)
 
 
 def quat_min_error(q_pred: jax.Array, q_gt: jax.Array, *,
@@ -42,6 +45,7 @@ def smpl_metrics(
     faces: jax.Array,  # [F, 3]
     obj_points: jax.Array,  # [B, P, 3] canonical template xyz
     *, nn_chunk: Optional[int] = 512,
+    nn_prune_delta: Optional[float] = 0.25,
 ) -> Dict[str, jax.Array]:
     """Per-sample metric dict [B] (`eval_smpl_short.py:24-81`)."""
     B, T = obj_pred.shape[:2]
@@ -54,12 +58,19 @@ def smpl_metrics(
     # (`eval_smpl_short.py:37-40`) but consumes only the o2h *sign*; the
     # fused signed-NN (ops/signed_distance.signed_nearest) produces exactly
     # that in one sweep — the 6890-query verts->obj direction and all four
-    # argmin gathers of point2point_signed are dropped
+    # argmin gathers of point2point_signed are dropped.  Sign-only
+    # consumption is exactly the sound case for the AABB segment pruning
+    # (`signed_nearest_pruned`'s contract: forced-positive beyond delta ==
+    # the true sign there), so the sweep prunes by default;
+    # nn_prune_delta=None restores the full sweep.
     v_flat = verts.reshape(B * T, -1, 3)
     normals = vertex_normals(v_flat, faces)
-    _, o2h_dot = signed_nearest(
-        obj_points_pred.reshape(B * T, -1, 3), v_flat, normals,
-        chunk=nn_chunk)
+    queries = obj_points_pred.reshape(B * T, -1, 3)
+    if nn_prune_delta is not None:
+        _, o2h_dot = signed_nearest_pruned(
+            queries, v_flat, normals, delta=nn_prune_delta, chunk=nn_chunk)
+    else:
+        _, o2h_dot = signed_nearest(queries, v_flat, normals, chunk=nn_chunk)
     penetrate = jnp.mean((o2h_dot < 0).reshape(B, T, -1)
                          .astype(jnp.float32), axis=(1, 2))
 

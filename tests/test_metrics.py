@@ -96,10 +96,23 @@ def test_smpl_metrics_penetrate_matches_bidirectional(rng):
                       np.arange(2, V)], axis=1).astype(np.int32)
     pts = rng.standard_normal((B, P, 3)).astype(np.float32)
 
+    # nn_prune_delta=None: this test's geometry is RANDOM/open (arbitrary
+    # normals), which violates the pruning contract's closed-body
+    # precondition - the pruned default is validated separately on closed
+    # geometry (tests/test_pallas_nn.py::TestSignedNearestPruned)
     m = smpl_metrics(jnp.asarray(obj), jnp.asarray(jtr), jnp.asarray(body),
                      jnp.asarray(obj), jnp.asarray(jtr), jnp.asarray(body),
                      jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(pts),
-                     nn_chunk=None)
+                     nn_chunk=None, nn_prune_delta=None)
+    # with a delta beyond every true distance the pruned path must agree
+    # even here (the forcing never fires)
+    m_big = smpl_metrics(
+        jnp.asarray(obj), jnp.asarray(jtr), jnp.asarray(body),
+        jnp.asarray(obj), jnp.asarray(jtr), jnp.asarray(body),
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(pts),
+        nn_chunk=None, nn_prune_delta=100.0)
+    np.testing.assert_allclose(np.asarray(m_big["penetrate"]),
+                               np.asarray(m["penetrate"]), atol=1e-7)
 
     rot = axis_angle_to_matrix(jnp.asarray(obj[..., :3]))
     opp = (jnp.einsum("btij,bpj->btpi", rot, jnp.asarray(pts))
