@@ -60,6 +60,12 @@ def main():
     parser.add_argument("--synthetic", type=int, default=0,
                         help="evaluate N synthetic batches with a synthetic "
                              "SMPL body (no datasets/pkls needed)")
+    parser.add_argument("--nn_prune_delta", type=float, default=0.25,
+                        help="AABB segment-pruning radius for the gate's"
+                        " object->body signed-NN sweep (bit-identical gate"
+                        " decisions while delta exceeds the body's max"
+                        " interior-to-vertex distance, ~0.17m); <=0"
+                        " disables (full sweep)")
     parser.add_argument("--synthetic_body", action="store_true",
                         help="REAL motion data from --motion_path with the "
                              "synthetic stand-in body (SMPLH pkls are not "
@@ -102,7 +108,11 @@ def main():
     from interdiff_tpu.smpl.model import smpl_forward
 
     rng = seed_everything(args.seed)
-    cfg = SmplEvalConfig(past_len=args.past_len, future_len=args.future_len)
+    cfg = SmplEvalConfig(past_len=args.past_len,
+                         future_len=args.future_len,
+                         nn_prune_delta=(args.nn_prune_delta
+                                         if args.nn_prune_delta > 0
+                                         else None))
     from interdiff_tpu.config import DiffusionConfig
 
     track = SmplTrackConfig(

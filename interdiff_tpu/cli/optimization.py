@@ -108,8 +108,8 @@ def _make_penetration_fn(smpl, past_len):
     pose [B,T,156] axis-angle, obj_pts [B,P,3] canonical template."""
     from interdiff_tpu.geometry.normals import vertex_normals
     from interdiff_tpu.geometry.rotations import axis_angle_to_matrix
-    from interdiff_tpu.ops.signed_distance import signed_nearest
     from interdiff_tpu.ops.signed_distance import safe_sqrt
+    from interdiff_tpu.ops.signed_distance import signed_nearest_pruned
     from interdiff_tpu.smpl.model import smpl_forward
 
     faces_j = jnp.asarray(smpl.faces)
@@ -124,9 +124,11 @@ def _make_penetration_fn(smpl, past_len):
         pts = (jnp.einsum("btij,bpj->btpi", rot, obj_pts)
                + obj_trans[:, :, None])
         normals = vertex_normals(verts, faces_j)
-        # sign AND magnitude consumed -> one fused signed-NN sweep
-        # (see eval/metrics.py for the same rewrite rationale)
-        o2h_sq, o2h_dot = signed_nearest(
+        # sign AND inside-point magnitudes consumed -> the AABB-pruned
+        # sweep is exactly sound here (forced-far points are provably
+        # outside: zero contribution to both fraction and depth under
+        # either path — `signed_nearest_pruned`'s contract)
+        o2h_sq, o2h_dot = signed_nearest_pruned(
             pts.reshape(B * Tn, -1, 3), verts, normals, chunk=512)
         inside = (o2h_dot < 0).reshape(B, Tn, -1)[:, past_len:]
         frac = inside.astype(jnp.float32).mean(axis=(1, 2))

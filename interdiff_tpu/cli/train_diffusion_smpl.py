@@ -62,6 +62,10 @@ def main():
     parser.add_argument("--resume_checkpoint", default=None,
                         help="orbax ckpt dir to resume params from")
     parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--synthetic_points", type=int, default=512,
+                        help="object points per synthetic batch (use"
+                        " >=1024 to exercise the real PointNet++"
+                        " encoder: sa0 samples 1024 centers)")
     parser.add_argument("--synthetic_body", action="store_true",
                         help="load REAL motion npz from --motion_path but "
                              "stand in the synthetic SMPL body for the "
@@ -251,6 +255,7 @@ def main():
         def epoch_batches():
             return synthetic_smpl_batches(
                 rng, batch_size=args.batch_size, seq_len=T,
+                num_points=args.synthetic_points,
                 steps=args.synthetic)
     else:
         from interdiff_tpu.data.behave import (

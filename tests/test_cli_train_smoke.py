@@ -138,3 +138,19 @@ def test_train_diffusion_smpl_steps_per_dispatch(monkeypatch, tmp_path,
     out = capsys.readouterr().out
     assert "done: 2 steps" in out
     _check_run_dir(str(tmp_path))
+
+
+def test_train_diffusion_smpl_bn_train_mode(monkeypatch, tmp_path, capsys):
+    """--bn_train_mode 1: batch-statistic encoder BN, running stats held
+    outside the optimizer, merged back for validation + checkpoint."""
+    from interdiff_tpu.cli.train_diffusion_smpl import main
+
+    _run(main, ["--synthetic", "2", "--epochs", "1", "--batch_size", "8",
+                "--bn_train_mode", "1", "--synthetic_points", "1024",
+                "--embedding_dim", "32", "--ff_size", "64",
+                "--num_layers", "2", "--val_every", "1",
+                "--val_respacing", "4",
+                "--results_dir", str(tmp_path / "bn")], monkeypatch)
+    out = capsys.readouterr().out
+    assert "val_loss" in out
+    assert (tmp_path / "bn").exists()
