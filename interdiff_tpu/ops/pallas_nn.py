@@ -190,43 +190,49 @@ _FORCE_INTERPRET = False  # tests flip this to exercise the VJP off-TPU
 _SEG_INF = 3.0e38  # running-min init; beats every real |b|^2-2ab score
 
 
-def _make_seg_signed_kernel(n_seg: int):
+def _make_seg_signed_kernel(n_seg: int, seg: int):
     def kernel(flag_ref, a_ref, bt_ref, nt_ref, dist_ref, sdot_ref,
                idx_ref):
         # flag_ref holds the FULL [n_blocks, n_seg] flag table in SMEM
         # (Mosaic requires SMEM blocks to equal the array dims — a (1, 1)
-        # windowed spec fails lowering; observed on-chip 2026-08-20)
+        # windowed spec fails lowering; observed on-chip 2026-08-20).
+        #
+        # The segment walk happens INSIDE the kernel over the resident
+        # [_BB, 3, Mp] surface block — the first formulation put segments
+        # on a third grid axis with revisited accumulator outputs, and the
+        # 14x grid-step count made the kernel 4x SLOWER per unit work
+        # (258 vs 65 ms at 72% flags, chip 2026-08-20).  Here the grid is
+        # IDENTICAL to the full kernel's; a skipped segment skips its VPU
+        # work via a scalar-core branch and everything else stays resident.
+        # The output refs double as the running (min, sdot, idx)
+        # accumulators (pl.when regions cannot return values, only write
+        # refs); strict < on the merge keeps the first-occurrence argmin.
         i = pl.program_id(0)
-        g = pl.program_id(2)
-        seg = bt_ref.shape[2]
+        dist_ref[...] = jnp.full(dist_ref.shape, _SEG_INF, jnp.float32)
+        sdot_ref[...] = jnp.ones(sdot_ref.shape, jnp.float32)
+        idx_ref[...] = jnp.zeros(idx_ref.shape, jnp.int32)
 
-        @pl.when(g == 0)
-        def _():
-            dist_ref[...] = jnp.full(dist_ref.shape, _SEG_INF, jnp.float32)
-            sdot_ref[...] = jnp.ones(sdot_ref.shape, jnp.float32)
-            idx_ref[...] = jnp.zeros(idx_ref.shape, jnp.int32)
-
-        @pl.when(flag_ref[i, g] != 0)
-        def _():
-            base = g * seg
-            for r in range(_BB):  # unrolled: 2D ops only
-                a = a_ref[r]  # [TA, 3]
-                bt = bt_ref[r]  # [3, SEG]
-                nt = nt_ref[r]
-                scores = _row_scores(a, bt)  # [TA, SEG]
-                nb = jnp.sum(nt * bt, axis=0, keepdims=True)
-                s = _row_dots(a, nt) - nb
-                amin = jnp.argmin(scores, axis=-1).astype(jnp.int32)
-                iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-                loc_min = jnp.min(scores, axis=-1)
-                loc_sdot = jnp.sum(
-                    jnp.where(iota == amin[:, None], s, 0.0), axis=-1)
-                # strict < keeps the FIRST-occurrence argmin across
-                # segments (within-segment argmin is first-occurrence)
-                better = loc_min < dist_ref[r]
-                dist_ref[r] = jnp.where(better, loc_min, dist_ref[r])
-                sdot_ref[r] = jnp.where(better, loc_sdot, sdot_ref[r])
-                idx_ref[r] = jnp.where(better, amin + base, idx_ref[r])
+        for g in range(n_seg):
+            @pl.when(flag_ref[i, g] != 0)
+            def _(g=g):
+                base = g * seg
+                for r in range(_BB):  # unrolled: 2D ops only
+                    a = a_ref[r]  # [TA, 3]
+                    bt = bt_ref[r, :, base:base + seg]  # [3, SEG] static
+                    nt = nt_ref[r, :, base:base + seg]
+                    scores = _row_scores(a, bt)  # [TA, SEG]
+                    nb = jnp.sum(nt * bt, axis=0, keepdims=True)
+                    s = _row_dots(a, nt) - nb
+                    amin = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, scores.shape, 1)
+                    loc_min = jnp.min(scores, axis=-1)
+                    loc_sdot = jnp.sum(
+                        jnp.where(iota == amin[:, None], s, 0.0), axis=-1)
+                    better = loc_min < dist_ref[r]
+                    dist_ref[r] = jnp.where(better, loc_min, dist_ref[r])
+                    sdot_ref[r] = jnp.where(better, loc_sdot, sdot_ref[r])
+                    idx_ref[r] = jnp.where(better, amin + base, idx_ref[r])
 
     return kernel
 
@@ -280,19 +286,19 @@ def signed_nearest_pruned_pallas(a: jax.Array, b: jax.Array, n: jax.Array,
                           axis=1).astype(jnp.int32)
 
     dist, sdot, idx = pl.pallas_call(
-        _make_seg_signed_kernel(n_seg),
-        grid=(Bp // _BB, Np // tile_a, n_seg),
+        _make_seg_signed_kernel(n_seg, seg),
+        grid=(Bp // _BB, Np // tile_a),
         in_specs=[
-            pl.BlockSpec(block_flags.shape, lambda i, j, g: (0, 0),
+            pl.BlockSpec(block_flags.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((_BB, tile_a, 3), lambda i, j, g: (i, j, 0),
+            pl.BlockSpec((_BB, tile_a, 3), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BB, 3, seg), lambda i, j, g: (i, 0, g),
+            pl.BlockSpec((_BB, 3, Mp), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BB, 3, seg), lambda i, j, g: (i, 0, g),
+            pl.BlockSpec((_BB, 3, Mp), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((_BB, tile_a), lambda i, j, g: (i, j),
+        out_specs=[pl.BlockSpec((_BB, tile_a), lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM)] * 3,
         out_shape=[jax.ShapeDtypeStruct((Bp, Np), jnp.float32)] * 2
         + [jax.ShapeDtypeStruct((Bp, Np), jnp.int32)],
