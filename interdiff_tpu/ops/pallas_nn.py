@@ -237,21 +237,151 @@ def _make_seg_signed_kernel(n_seg: int, seg: int):
     return kernel
 
 
+def _make_seg_signed_kernel_fori(n_seg: int, seg: int):
+    """fori_loop segment walk over [_BB, n_seg, 3, seg]-reshaped surface
+    blocks (dynamic LEADING-dim ref indexing, which Mosaic lowers without
+    relayout) — one loop body instead of n_seg unrolled when-regions, so
+    kernel code size matches the full kernel's instead of growing 14x.
+    Numerics are identical to the unrolled walk: same per-segment
+    arithmetic, same strict-< merge order."""
+
+    def kernel(flag_ref, a_ref, b4_ref, n4_ref, dist_ref, sdot_ref,
+               idx_ref):
+        i = pl.program_id(0)
+        dist_ref[...] = jnp.full(dist_ref.shape, _SEG_INF, jnp.float32)
+        sdot_ref[...] = jnp.ones(sdot_ref.shape, jnp.float32)
+        idx_ref[...] = jnp.zeros(idx_ref.shape, jnp.int32)
+
+        def body(g, carry):
+            @pl.when(flag_ref[i, g] != 0)
+            def _():
+                base = g * seg
+                for r in range(_BB):  # unrolled: 2D ops only
+                    a = a_ref[r]  # [TA, 3]
+                    bt = b4_ref[r, g]  # [3, SEG] dynamic leading index
+                    nt = n4_ref[r, g]
+                    scores = _row_scores(a, bt)  # [TA, SEG]
+                    nb = jnp.sum(nt * bt, axis=0, keepdims=True)
+                    s = _row_dots(a, nt) - nb
+                    amin = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, scores.shape, 1)
+                    loc_min = jnp.min(scores, axis=-1)
+                    loc_sdot = jnp.sum(
+                        jnp.where(iota == amin[:, None], s, 0.0), axis=-1)
+                    better = loc_min < dist_ref[r]
+                    dist_ref[r] = jnp.where(better, loc_min, dist_ref[r])
+                    sdot_ref[r] = jnp.where(better, loc_sdot, sdot_ref[r])
+                    idx_ref[r] = jnp.where(better, amin + base, idx_ref[r])
+
+            return carry
+
+        jax.lax.fori_loop(0, n_seg, body, 0)
+
+    return kernel
+
+
+def _make_seg_signed_kernel_lanefold(n_seg: int, seg: int, tile_a: int):
+    """Lane-folded running argmin: the chip A/B showed per-segment
+    cross-lane reductions cost ~1-1.5 us per (segment, row) visit — at 14
+    segments that drowns the skipped FMAs (fori:512 = 256 ms vs 65 full).
+    This formulation keeps the per-segment work PURELY elementwise: a
+    [TA, seg] accumulator triple (score, sdot, winning segment#) is updated
+    with strict-< selects, and ONE final cross-lane pass per row recovers
+    the global result — so the reduction cost matches the full kernel's
+    instead of scaling with segment count.
+
+    Tie semantics: lane l of the accumulator holds the best candidate
+    among global indices {g*seg + l}, keeping the LARGEST g on score ties
+    (<=); the final pass takes the min score m (f32 min is order-
+    independent -> bit-equal to the full sweep) and among lanes tied at m
+    picks the LARGEST stored global index.  This mirrors the on-chip
+    behaviour of the full kernel's jnp.argmin, which Mosaic lowers with
+    LAST-occurrence tie-breaking (measured 2026-08-20: exact score ties at
+    [8,1652] idx 538/593 and [33,1659] idx 31/52 — the full kernel picked
+    the larger index both times, and the fori/unrolled variants matched it
+    via their per-segment jnp.argmin; a min-index tie-break here failed
+    the bit-equality contract on exactly those queries).  NOTE interpret
+    mode (XLA argmin = FIRST occurrence) therefore disagrees with this
+    variant on exact ties — chip-vs-chip is the contract that matters.
+    acc_ix values are unique per lane (lane l only holds indices ≡ l mod
+    seg), so the sdot select matches exactly one position."""
+
+    def kernel(flag_ref, a_ref, b4_ref, n4_ref, dist_ref, sdot_ref,
+               idx_ref, asc_ref, asd_ref, agx_ref):
+        i = pl.program_id(0)
+        for r in range(_BB):  # unrolled: 2D ops only
+            asc_ref[...] = jnp.full((tile_a, seg), _SEG_INF, jnp.float32)
+            asd_ref[...] = jnp.zeros((tile_a, seg), jnp.float32)
+            agx_ref[...] = jnp.zeros((tile_a, seg), jnp.int32)
+            a = a_ref[r]  # [TA, 3]
+
+            def body(g, carry):
+                @pl.when(flag_ref[i, g] != 0)
+                def _():
+                    bt = b4_ref[r, g]  # [3, SEG] dynamic leading index
+                    nt = n4_ref[r, g]
+                    scores = _row_scores(a, bt)  # [TA, SEG]
+                    nb = jnp.sum(nt * bt, axis=0, keepdims=True)
+                    s = _row_dots(a, nt) - nb
+                    better = scores <= asc_ref[...]
+                    asc_ref[...] = jnp.where(better, scores, asc_ref[...])
+                    asd_ref[...] = jnp.where(better, s, asd_ref[...])
+                    agx_ref[...] = jnp.where(better, g, agx_ref[...])
+
+                return carry
+
+            jax.lax.fori_loop(0, n_seg, body, 0)
+            acc = asc_ref[...]
+            m = jnp.min(acc, axis=-1)  # bit-equal to the full-width min
+            gix = agx_ref[...] * seg + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_a, seg), 1)
+            tie = acc == m[:, None]
+            ix = jnp.max(jnp.where(tie, gix, jnp.int32(-1)), axis=-1)
+            pick = tie & (gix == ix[:, None])
+            dist_ref[r] = m
+            idx_ref[r] = ix
+            sdot_ref[r] = jnp.sum(jnp.where(pick, asd_ref[...], 0.0),
+                                  axis=-1)
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("delta", "seg", "tile_a",
-                                             "interpret"))
+                                             "interpret", "variant"))
 def signed_nearest_pruned_pallas(a: jax.Array, b: jax.Array, n: jax.Array,
-                                 *, delta: float = 0.25, seg: int = 512,
+                                 *, delta: float = 0.25,
+                                 seg: int | None = None,
                                  tile_a: int = 128,
-                                 interpret: bool = False
+                                 interpret: bool = False,
+                                 variant: str = "fori"
                                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Segment-pruned fused signed-NN (see the contract block above).
 
     a: [B, N, 3] queries, b: [B, M, 3] surface verts, n: [B, M, 3]
     pseudonormals -> (sq_dist, sdot, idx), each [B, N]; results bit-equal
     to :func:`signed_nearest_pallas` wherever true distance < ``delta``,
-    exactly ``(delta**2, +1.0, 0)`` beyond."""
+    exactly ``(delta**2, +1.0, 0)`` beyond.
+
+    ``seg=None`` -> ceil(M/4) rounded up to a 128 multiple: the chip
+    sweep showed per-(segment, row) VISIT overhead (~0.4-1.1 us — the
+    cross-lane min/argmin/select-sum reductions per segment) dwarfs the
+    saved FMAs when segments are narrow (fori:512 = 256 ms vs full 65 at
+    near-full flags; fori:2048 = 99), so FEW segments win: 4 segments
+    keeps worst-case overhead ~1.3x while far-object geometry still
+    measures 4.6x faster (14.31 ms).  seg MUST be a multiple of 128: the
+    per-segment jnp.argmin + ordered strict-< merge then reproduces the
+    full-width Mosaic argmin's fold order EXACTLY, ties included (Mosaic
+    folds vregs sequentially preferring the earlier vreg, with a separate
+    intra-vreg tree rule — measured via exact Fibonacci-lattice score
+    ties: full argmin picked the larger index within a vreg at [8,1652]
+    but the smaller-vreg index at [132,376]); a lane-misaligned seg would
+    break that correspondence."""
     B, N, _ = a.shape
     M = b.shape[1]
+    if seg is None:
+        quarter = -(-M // 4)  # ceil(M/4)
+        seg = max(512, -(-quarter // 128) * 128)  # round up to lane tiles
     m_pad = (-M) % seg
     if m_pad:
         # far sentinel verts never win the min and never flag a segment
@@ -285,18 +415,39 @@ def signed_nearest_pruned_pallas(a: jax.Array, b: jax.Array, n: jax.Array,
     block_flags = jnp.max(ff.reshape(Bp // _BB, _BB, n_seg),
                           axis=1).astype(jnp.int32)
 
+    scratch_shapes = []
+    if variant in ("fori", "lanefold"):
+        # [Bp, 3, Mp] -> [Bp, n_seg, 3, seg]: dynamic-leading-dim reads
+        bt = jnp.swapaxes(bt.reshape(Bp, 3, n_seg, seg), 1, 2)
+        nt = jnp.swapaxes(nt.reshape(Bp, 3, n_seg, seg), 1, 2)
+        surf_spec = pl.BlockSpec((_BB, n_seg, 3, seg),
+                                 lambda i, j: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        if variant == "fori":
+            kernel = _make_seg_signed_kernel_fori(n_seg, seg)
+        else:
+            kernel = _make_seg_signed_kernel_lanefold(n_seg, seg, tile_a)
+            scratch_shapes = [pltpu.VMEM((tile_a, seg), jnp.float32),
+                              pltpu.VMEM((tile_a, seg), jnp.float32),
+                              pltpu.VMEM((tile_a, seg), jnp.int32)]
+    elif variant == "unrolled":
+        kernel = _make_seg_signed_kernel(n_seg, seg)
+        surf_spec = pl.BlockSpec((_BB, 3, Mp), lambda i, j: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        raise ValueError(f"unknown pruned-NN variant: {variant!r}")
+
     dist, sdot, idx = pl.pallas_call(
-        _make_seg_signed_kernel(n_seg, seg),
+        kernel,
+        scratch_shapes=scratch_shapes,
         grid=(Bp // _BB, Np // tile_a),
         in_specs=[
             pl.BlockSpec(block_flags.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_BB, tile_a, 3), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BB, 3, Mp), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BB, 3, Mp), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            surf_spec,
+            surf_spec,
         ],
         out_specs=[pl.BlockSpec((_BB, tile_a), lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM)] * 3,

@@ -123,6 +123,15 @@ def test_fold_min_reduces_over_all_samples(pipeline):
     best, chunks = pipeline(4)
     for k in best:
         stacked = chunks[0][k]  # [N, B] — fold=4 runs one chunk
-        assert np.ptp(stacked, axis=0).min() > 0, f"{k}: degenerate samples"
+        if k == "penetrate":
+            # penetrate saturates at a legitimate 0.0 for clips whose
+            # samples never intersect the body — since round 5 the pruned
+            # sweep reports an exact 0 there instead of far-point sign
+            # noise, so require spread in SOME clip rather than every clip
+            assert np.ptp(stacked, axis=0).max() > 0, \
+                f"{k}: degenerate samples"
+        else:
+            assert np.ptp(stacked, axis=0).min() > 0, \
+                f"{k}: degenerate samples"
         np.testing.assert_allclose(best[k], stacked.min(axis=0), rtol=0,
                                    atol=0)

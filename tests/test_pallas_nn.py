@@ -257,3 +257,33 @@ class TestSignedNearestPruned:
         np.testing.assert_array_equal(
             np.asarray(gate_terms(d_f, s_f)),
             np.asarray(gate_terms(d_p, s_p)))
+
+    def test_variants_agree_and_auto_seg(self, rng):
+        """The three segment-walk formulations (unrolled / fori /
+        lanefold) are elementwise-identical on tie-free geometry, at an
+        explicit seg and at the auto-chosen one (seg=None -> ceil(M/4)
+        rounded to a lane tile).  fori is the production variant: on-chip
+        its per-segment argmin + ordered strict-< merge reproduces the
+        full-width Mosaic argmin fold order exactly (4/4 chip contract
+        runs, 2026-08-20), while lanefold's lane-folded accumulator
+        resolves exact score ties differently from Mosaic's vreg order —
+        kept as a documented negative result.  Interpret mode (XLA
+        argmin) only agrees on TIE-FREE geometry, which random f32 clouds
+        are with overwhelming probability."""
+        from interdiff_tpu.ops.pallas_nn import signed_nearest_pruned_pallas
+
+        a, b, n = self._clouds(rng)
+        ref = None
+        for kwargs in ({"seg": 256, "variant": "unrolled"},
+                       {"seg": 256, "variant": "fori"},
+                       {"seg": 256, "variant": "lanefold"},
+                       {"variant": "fori"},  # auto seg
+                       {"variant": "lanefold"}):
+            out = signed_nearest_pruned_pallas(a, b, n, delta=0.5,
+                                               interpret=True, **kwargs)
+            if ref is None:
+                ref = out
+                continue
+            for x, y in zip(ref, out):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                              err_msg=str(kwargs))
