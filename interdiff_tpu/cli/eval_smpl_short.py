@@ -66,6 +66,15 @@ def main():
                         " decisions while delta exceeds the body's max"
                         " interior-to-vertex distance, ~0.17m); <=0"
                         " disables (full sweep)")
+    parser.add_argument("--metrics_prune_delta", type=float, default=0.0,
+                        help="opt-in pruning radius for the penetrate"
+                        " METRIC's sweep; default 0 keeps the reference-"
+                        "faithful full sweep (the reference's vertex-"
+                        "pseudonormal sign test counts some far-outside"
+                        " points as penetrating — measured 0.1809 vs"
+                        " 0.0295 pruned on the real sequence; pruning"
+                        " is faster and closer to geometric truth but"
+                        " changes the reported number)")
     parser.add_argument("--synthetic_body", action="store_true",
                         help="REAL motion data from --motion_path with the "
                              "synthetic stand-in body (SMPLH pkls are not "
@@ -171,7 +180,9 @@ def main():
             out["obj_pred"][:, pp:], out["jtr"][:, pp:],
             out["body_pred"][:, pp:], gt_post["obj_pred"][:, pp:],
             gt_post["jtr"][:, pp:], gt_post["body_pred"][:, pp:],
-            out["verts"][:, pp:], faces_j, obj_pts3)
+            out["verts"][:, pp:], faces_j, obj_pts3,
+            nn_prune_delta=(args.metrics_prune_delta
+                            if args.metrics_prune_delta > 0 else None))
 
     if args.mesh_devices > 1:
         # production data-parallel eval: params/key replicated, the tiled

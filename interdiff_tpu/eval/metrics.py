@@ -45,7 +45,7 @@ def smpl_metrics(
     faces: jax.Array,  # [F, 3]
     obj_points: jax.Array,  # [B, P, 3] canonical template xyz
     *, nn_chunk: Optional[int] = 512,
-    nn_prune_delta: Optional[float] = 0.25,
+    nn_prune_delta: Optional[float] = None,
 ) -> Dict[str, jax.Array]:
     """Per-sample metric dict [B] (`eval_smpl_short.py:24-81`)."""
     B, T = obj_pred.shape[:2]
@@ -58,11 +58,17 @@ def smpl_metrics(
     # (`eval_smpl_short.py:37-40`) but consumes only the o2h *sign*; the
     # fused signed-NN (ops/signed_distance.signed_nearest) produces exactly
     # that in one sweep — the 6890-query verts->obj direction and all four
-    # argmin gathers of point2point_signed are dropped.  Sign-only
-    # consumption is exactly the sound case for the AABB segment pruning
-    # (`signed_nearest_pruned`'s contract: forced-positive beyond delta ==
-    # the true sign there), so the sweep prunes by default;
-    # nn_prune_delta=None restores the full sweep.
+    # argmin gathers of point2point_signed are dropped.  The DEFAULT is
+    # the reference-faithful FULL sweep: the vertex-pseudonormal sign test
+    # the reference's metric is defined by reports negative (penetrating)
+    # signs for some points far OUTSIDE a posed body (concave folds), and
+    # those far-field artifact signs are part of the metric's semantics —
+    # on the real staged sequence the full-sweep penetrate is 0.1809 vs
+    # 0.0295 with delta=0.25 pruning (the pruned value is closer to the
+    # geometric truth: the stand-in body's max interior-to-vertex distance
+    # ~0.17 m makes a true inside point beyond 0.25 m of every vertex
+    # impossible — but changing the number 6x silently is not parity).
+    # Pass nn_prune_delta (e.g. 0.25) to opt into the pruned accelerator.
     v_flat = verts.reshape(B * T, -1, 3)
     normals = vertex_normals(v_flat, faces)
     queries = obj_points_pred.reshape(B * T, -1, 3)

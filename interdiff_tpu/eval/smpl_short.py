@@ -118,9 +118,15 @@ def make_correction_denoised_fn(
         # argmin-index gathers (they cost more than the NN itself on v5e)
         normals_fut = vertex_normals(verts_fut, np.asarray(smpl.faces))
         if cfg.nn_prune_delta is not None:
-            # segment-pruned sweep: bit-identical w/loss_dist_o/condition
-            # (the consumer zeroes every beyond-delta contribution — see
-            # signed_nearest_pruned's contract)
+            # segment-pruned sweep: within delta the gate terms are
+            # bit-identical to the full sweep; beyond delta the pair is
+            # forced to the TRUE (positive) sign, so w/loss_dist_o differ
+            # from the full sweep exactly where its far-field pseudonormal
+            # sign is an artifact (winding-verified outside — see
+            # scripts/diag_penetrate_signs.py and PARITY.md): pruning
+            # both accelerates the sweep 1.4-4.8x and suppresses the
+            # spurious far-field penetration forces those artifacts
+            # would inject into the correction blend
             o2h_sq, o2h_dot = signed_nearest_pruned(
                 obj_fut, verts_fut, normals_fut,
                 delta=cfg.nn_prune_delta, chunk=cfg.nn_chunk)

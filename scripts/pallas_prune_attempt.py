@@ -1,8 +1,15 @@
 """Drive the segment-pruned signed-NN kernel on the real chip: Mosaic
-lowering check (SMEM scalar flags + pl.when skip + revisited accumulator
-outputs are all new lowering surface), contract equality vs the full
-kernel, and slope-timed perf at the full correction-gate shape
-(800 x 2048 queries x 6890 verts) on REPRESENTATIVE geometry.
+lowering check, contract equality vs the full kernel, and slope-timed
+perf at the full correction-gate shape (800 x 2048 queries x 6890 verts).
+
+SUPERSEDED as the primary gate by `scripts/pallas_prune_variants.py`,
+which adds variant/seg A/B, temporally-coherent clip-walk geometry
+(`--clip_len 24` — this script's per-row IID centres inflate the kernel's
+8-row block-OR flags to 1-(1-p)^8, an adversarial layout no production
+consumer produces), and block-level flag reporting.  Kept as the
+quick single-config driver; it exercises whatever production defaults
+`signed_nearest_pruned_pallas` ships (round-5: fori walk, auto
+seg=ceil(M/4) to a lane tile).
 
     python scripts/pallas_prune_attempt.py [--rows 800 --queries 2048 --verts 6890]
 """
