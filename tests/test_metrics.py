@@ -126,6 +126,42 @@ def test_smpl_metrics_penetrate_matches_bidirectional(rng):
     np.testing.assert_allclose(np.asarray(m["penetrate"]), want, atol=1e-6)
 
 
+def test_smpl_metrics_default_is_reference_faithful_full_sweep(rng):
+    """The penetrate metric's DEFAULT must be the unpruned full sweep —
+    metric parity with the reference's vertex-pseudonormal semantics.
+    Round-5 measured the pruned sweep changing the protocol number 6x
+    (0.18085 full vs 0.02953 pruned: winding-verified far-field artifact
+    filtering — scripts/diag_penetrate_signs.py, PARITY.md scope note),
+    so pruning stays an explicit opt-in for metrics.  Geometry: queries
+    far beyond delta from a small vert cloud with inward-rigged normals,
+    so the full sweep reports them negative while the pruned sweep would
+    force +1 — the default must match the full sweep."""
+    B, T, J, V, P = 1, 2, 52, 48, 16
+    obj = np.zeros((B, T, 6), np.float32)
+    jtr = rng.standard_normal((B, T, J, 3)).astype(np.float32)
+    body = rng.standard_normal((B, T, 159)).astype(np.float32)
+    # tiny vert cloud near origin; faces rigged so vertex normals point
+    # INWARD w.r.t. faraway queries -> far-field negative signs
+    verts = (0.05 * rng.standard_normal((B, T, V, 3))).astype(np.float32)
+    faces = np.stack([np.zeros(V - 2), np.arange(2, V),
+                      np.arange(1, V - 1)], axis=1).astype(np.int32)
+    pts = (rng.standard_normal((B, P, 3)) + 5.0).astype(np.float32)
+
+    kw = dict(nn_chunk=None)
+    args = (jnp.asarray(obj), jnp.asarray(jtr), jnp.asarray(body),
+            jnp.asarray(obj), jnp.asarray(jtr), jnp.asarray(body),
+            jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(pts))
+    m_default = smpl_metrics(*args, **kw)
+    m_full = smpl_metrics(*args, nn_prune_delta=None, **kw)
+    m_pruned = smpl_metrics(*args, nn_prune_delta=0.25, **kw)
+    np.testing.assert_array_equal(np.asarray(m_default["penetrate"]),
+                                  np.asarray(m_full["penetrate"]))
+    assert np.all(np.asarray(m_pruned["penetrate"]) == 0.0)
+    # the discriminating geometry really discriminates: at least some
+    # far query tests negative under the full sweep
+    assert (np.asarray(m_full["penetrate"]) > 0).any()
+
+
 def test_state_to_axis_angle_roundtrip(rng):
     """smpl_gt_from_raw -> state_to_axis_angle recovers the axis-angle
     rotations (up to angle wrapping) and the translations exactly."""
